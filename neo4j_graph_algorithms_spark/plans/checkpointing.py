@@ -1,0 +1,135 @@
+"""Superstep checkpointing with per-partition lineage + convergence
+metrics, and resumable iterative runs.
+
+The reference's superstep barrier is a thread-pool rendezvous
+(`impl/PageRank.java:344-374` — ComputeSteps re-submitted per iteration
+with a single-threaded transpose between CALC and SYNC states). On
+Spark, each superstep is a job; the two problems that appear at scale
+are (a) unbounded lineage growth across tens of iterations and (b) no
+restart point for a 100 TB run that dies at superstep 37. This module
+solves both:
+
+- `IterationCache` — persist-count-unpersist cadence with optional
+  periodic truncation: either `localCheckpoint` (fast, lineage-only) or
+  a durable parquet checkpoint directory (resumable; the sandbox
+  stand-in for an Iceberg state table).
+- Every durable checkpoint writes `meta.json` with the superstep
+  number, convergence metric, and *per-partition* lineage metrics
+  (rows + partition-local convergence) so a resumed run can verify its
+  inputs before continuing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def partition_metrics(df: DataFrame, value_col: str | None = None) -> list[dict]:
+    """Per-partition lineage metrics: row count (+ max of a convergence
+    column if given), keyed by physical partition id."""
+    aggs = [F.count("*").alias("rows")]
+    if value_col is not None:
+        aggs.append(F.max(value_col).alias("max_" + value_col))
+    rows = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(*aggs)
+        .collect()
+    )
+    return [r.asDict() for r in sorted(rows, key=lambda r: r["_pid"])]
+
+
+class IterationCache:
+    """persist → materialize → unpersist-previous, with optional durable
+    checkpoints every `checkpoint_every` steps."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 5,
+        collect_partition_metrics: bool = False,
+    ):
+        self.spark = spark
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = max(1, checkpoint_every)
+        self.collect_partition_metrics = collect_partition_metrics
+        self._prev: DataFrame | None = None
+        self.history: list[dict] = []
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def step(
+        self, df: DataFrame, superstep: int, metrics: dict | None = None, value_col: str | None = None
+    ) -> DataFrame:
+        """Materialize this superstep's state; returns the DataFrame to
+        use for the next iteration (re-read from checkpoint when a
+        durable snapshot was taken, truncating lineage)."""
+        durable = self.checkpoint_dir is not None and superstep % self.checkpoint_every == 0
+        meta = {"superstep": superstep, "ts": time.time(), **(metrics or {})}
+        if durable:
+            path = os.path.join(self.checkpoint_dir, f"step_{superstep:06d}")
+            df.write.mode("overwrite").parquet(os.path.join(path, "state"))
+            out = self.spark.read.parquet(os.path.join(path, "state"))
+            if self.collect_partition_metrics:
+                meta["partitions"] = partition_metrics(out, value_col)
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
+            # marker file written last => checkpoint is complete
+            with open(os.path.join(path, "_SUCCESS_META"), "w") as f:
+                f.write("ok")
+            self._gc(keep=2)
+        elif superstep % self.checkpoint_every == 0:
+            # eager localCheckpoint: materializes AND truncates lineage
+            # (caches the checkpoint RDD itself — no extra persist)
+            out = df.localCheckpoint(eager=True)
+        else:
+            out = df.persist()
+            out.count()
+        if self._prev is not None:
+            try:
+                self._prev.unpersist()
+            except Exception:
+                pass
+        self._prev = out if not durable else None
+        self.history.append(meta)
+        return out
+
+    def latest(self) -> tuple[int, DataFrame, dict] | None:
+        """Most recent complete durable checkpoint, or None."""
+        if not self.checkpoint_dir or not os.path.isdir(self.checkpoint_dir):
+            return None
+        steps = sorted(
+            d
+            for d in os.listdir(self.checkpoint_dir)
+            if d.startswith("step_")
+            and os.path.exists(os.path.join(self.checkpoint_dir, d, "_SUCCESS_META"))
+        )
+        if not steps:
+            return None
+        path = os.path.join(self.checkpoint_dir, steps[-1])
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        df = self.spark.read.parquet(os.path.join(path, "state"))
+        return int(meta["superstep"]), df, meta
+
+    def _gc(self, keep: int) -> None:
+        steps = sorted(
+            d for d in os.listdir(self.checkpoint_dir) if d.startswith("step_")
+        )
+        for d in steps[:-keep]:
+            shutil.rmtree(os.path.join(self.checkpoint_dir, d), ignore_errors=True)
+
+    def close(self) -> None:
+        if self._prev is not None:
+            try:
+                self._prev.unpersist()
+            except Exception:
+                pass
+            self._prev = None
