@@ -222,7 +222,7 @@ class Graph:
             n = spark.range(n_nodes).select(F.col("id"))
         else:
             n = None
-        return cls.from_edges(e, nodes=n)
+        return cls.from_edges(e, nodes=n, weight="weight")
 
     def out_degrees(self) -> DataFrame:
         return degrees(self.edges, "out")

@@ -1,0 +1,116 @@
+"""Triangle counting / local clustering coefficient — Spark-native.
+
+Reference: node-iterator triangle counting on an undirected, sorted
+graph (`impl/TriangleCountQueue.java:119-145`): for node u, for
+neighbors s > u, probe `exists(t, u)` for s's neighbors t > s — each
+unordered triple counted once, all three corner counters incremented
+(`impl/TriangleCountBase.java:93-98` exportTriangle). The Huge path
+replaces probes with sorted-CSR intersection
+(`core/.../huge/HugeGraphIntersectImpl.java:58-90`).
+
+The Spark analogue of the ``u < s < t`` pruning is the classic oriented
+wedge-close plan:
+
+1. orient every undirected edge low-id -> high-id (or low-degree ->
+   high-degree with ``by_degree=True`` — the anti-skew variant: hubs
+   get small out-adjacency, bounding the wedge fan-out; same trick,
+   stronger guarantee)
+2. wedges = oriented ⨝ oriented on (e1.dst == e2.src) → (a<b<c) paths
+3. close each wedge against the oriented edge set on (a, c)
+
+Per-vertex counts explode the 3 corners of each triangle; the local
+clustering coefficient is ``C(v) = 2·T(v) / (deg(v)·(deg(v)−1))``
+with C=0 when deg<2 (`TriangleCountBase.java:106-115`), and
+``averageClusteringCoefficient = mean(C)``
+(`TriangleCountQueue.java:71-81`; formula fixture
+`tests/.../impl/ClusteringCoefficientWikiTest.java:38-58`).
+
+`triangle_stream` emits the (a, b, c) triples themselves —
+`algo.triangle.stream` (`impl/TriangleStream.java:95-160`).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph, degrees, orient, undirect
+
+
+def _oriented(graph: Graph, by_degree: bool) -> tuple[DataFrame, DataFrame]:
+    """(oriented edge set with src<dst per pair, undirected degrees)."""
+    und = undirect(graph.edges)  # both directions, deduped
+    deg = degrees(und, "out")  # undirected degree = out-degree of doubled set
+    ori = orient(graph.edges, by_degree=deg if by_degree else None)
+    return ori.select("src", "dst"), deg
+
+
+def triangle_stream(graph: Graph, by_degree: bool = False) -> DataFrame:
+    """All triangles as (a, b, c) rows, each unordered triple once,
+    corners sorted ascending (deterministic; ref TriangleStream emits
+    node-id ordered triples from the u<s<t scan)."""
+    ori, _ = _oriented(graph, by_degree)
+    e1 = ori.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = ori.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = ori.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(e3, ["a", "c"], "left_semi").select("a", "b", "c")
+    if by_degree:
+        # degree orientation breaks id order inside triples — restore it
+        tri = tri.select(
+            F.array_sort(F.array("a", "b", "c")).alias("t")
+        ).select(
+            F.col("t")[0].alias("a"), F.col("t")[1].alias("b"), F.col("t")[2].alias("c")
+        )
+    return tri
+
+
+def triangle_count(
+    graph: Graph, by_degree: bool = False
+) -> tuple[DataFrame, dict]:
+    """Returns (per_node(id, triangles, coefficient), stats with
+    triangleCount / averageClusteringCoefficient) — the combined
+    surface of `algo.triangleCount` + coefficient write-back
+    (`algo/.../TriangleProc.java:58-298`)."""
+    t0 = time.time()
+    tri = triangle_stream(graph, by_degree=by_degree).persist()
+    total = tri.count()
+
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionByName(tri.select(F.col("b").alias("id")))
+        .unionByName(tri.select(F.col("c").alias("id")))
+    )
+    per_node_t = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+
+    und = undirect(graph.edges)
+    deg = degrees(und, "out")
+    per_node = (
+        graph.nodes.select("id")
+        .join(per_node_t, "id", "left")
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.col("degree"),
+        )
+        .withColumn(
+            "coefficient",
+            F.when(
+                F.coalesce(F.col("degree"), F.lit(0)) >= 2,
+                2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("degree")
+    )
+    per_node = per_node.persist()
+    avg = per_node.agg(F.avg("coefficient")).collect()[0][0] or 0.0
+    stats = {
+        "triangleCount": total,
+        "averageClusteringCoefficient": float(avg),
+        "computeMillis": int((time.time() - t0) * 1000),
+    }
+    tri.unpersist()
+    return per_node, stats

@@ -1,0 +1,123 @@
+"""Weakly connected components (unionFind) — Spark-native rebuild.
+
+Reference: sequential disjoint-set with path compression + union by rank
+(`impl/GraphUnionFind.java:57-99`, `core/.../utils/dss/DisjointSetStruct.java:138-222`)
+and parallel variants that merge per-range partial DSS structures
+(`impl/ParallelUnionFindQueue.java:30-97`, fork-join twins). A DSS is a
+shared mutable array — it does not shard across executors, so the
+rebuild swaps the algorithm (documented divergence, SURVEY.md §2.c #2)
+for the standard distributed equivalent: **iterative min-label
+propagation with pointer jumping**, converging to the same partition.
+
+Semantics preserved:
+
+- optional weight `threshold`: union only edges with weight >= t
+  (`GraphUnionFind.java:82-99`; fixture
+  `algo/UnionFindProcIntegrationTest.java:152-171`)
+- output `(id, component)`; the reference's set id is an arbitrary DSS
+  root, ours is the deterministic **min original node id** of the
+  component — the reference's own tests compare partitions, not ids
+  (`impl/UnionFindsTest.java:130-156`)
+- `component_stats` = setCount / setSize aggregates
+  (`DisjointSetStruct.java:224-243`)
+
+Scale shape: each round is one `edges ⨝ comp` shuffle +
+`groupBy(id).min` + one pointer-jump self-join. Neighbor-min alone
+needs O(diameter) rounds; the pointer jump (comp := comp[comp])
+compresses label chains so convergence is O(log n) rounds on path-like
+graphs — the distributed analogue of DSS path compression.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..graph import Graph
+from ..plans.checkpointing import IterationCache
+
+
+def wcc(
+    graph: Graph,
+    threshold: float | None = None,
+    max_iterations: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> tuple[DataFrame, dict]:
+    """Returns (components(id, component), stats)."""
+    spark = graph.edges.sparkSession
+    t0 = time.time()
+
+    edges = graph.edges
+    if threshold is not None:
+        # ref GraphUnionFind.java:82-99 — union only above-threshold edges
+        edges = edges.filter(F.col("weight") >= threshold)
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    sym.count()
+
+    comp = graph.nodes.select("id", F.col("id").alias("component"))
+    cache = IterationCache(spark, checkpoint_dir, checkpoint_every)
+    comp = cache.step(comp, 0)
+
+    ran = 0
+    converged = False
+    for it in range(1, max_iterations + 1):
+        # neighbor-min: every node pulls the smallest component label
+        # reachable over one (undirected) hop
+        nbr_min = (
+            sym.join(comp.select(F.col("id").alias("src"), "component"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        stepped = (
+            comp.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer jumping: component := component(component) — compresses
+        # label chains (distributed path compression)
+        parent = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("jump")
+        )
+        jumped = (
+            stepped.join(parent, "component", "left")
+            .select("id", F.coalesce(F.col("jump"), F.col("component")).alias("component"))
+        )
+        jumped = jumped.persist()
+        changed = (
+            jumped.join(comp.withColumnRenamed("component", "prev"), "id")
+            .filter(F.col("component") != F.col("prev"))
+            .count()
+        )
+        comp = cache.step(jumped, it, {"changed": changed})
+        ran = it
+        if changed == 0:
+            converged = True
+            break
+
+    stats = {
+        "iterations": ran,
+        "didConverge": converged,
+        "computeMillis": int((time.time() - t0) * 1000),
+    }
+    sym.unpersist()
+    return comp, stats
+
+
+def component_stats(components: DataFrame) -> tuple[int, DataFrame]:
+    """(setCount, setSizes(component, size)) — ref
+    `DisjointSetStruct.getSetCount/getSetSize:224-243`."""
+    sizes = components.groupBy("component").agg(F.count("*").alias("size"))
+    return sizes.count(), sizes
