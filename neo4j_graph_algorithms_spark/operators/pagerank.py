@@ -128,12 +128,23 @@ def pagerank(
     checkpoint_every: int = 5,
     resume: bool = False,
     num_partitions: int | None = None,
+    fuse: int = 1,
 ) -> tuple[DataFrame, dict]:
     """Run PageRank; returns (ranks(id, rank), stats).
 
     stats mirrors the reference's result row
     (`algo/.../results/PageRankScore.java` Stats: nodes, iterations,
     computeMillis) plus per-superstep convergence history.
+
+    ``fuse`` chains that many supersteps into ONE Spark job before
+    materializing (join+agg plans compose lazily), amortizing the
+    fixed per-job scheduling cost that otherwise dominates when a
+    superstep's data work is smaller than the scheduler overhead —
+    the Spark analogue of the reference re-submitting ComputeSteps
+    without tearing the thread pool down between iterations
+    (`impl/PageRank.java:344-354`). Convergence is checked once per
+    fused block, so a run may execute up to ``fuse-1`` extra
+    supersteps past tolerance (harmless: deltas only shrink).
     """
     spark = graph.edges.sparkSession
     t0 = time.time()
@@ -177,32 +188,56 @@ def pagerank(
         ranks = cache.step(ranks, 0, {"phase": "init"}, value_col="delta")
         start_step = 1
 
-    history: list[dict] = []
-    ran = 0
-    converged = False
-    for it in range(start_step, max_iterations + 1):
-        active = ranks.filter(F.col("delta") > 0).select(
-            F.col("id").alias("src"), "delta"
-        )
+    def push(cur: DataFrame) -> DataFrame:
+        """One delta superstep: cur(id, delta>0) → next deltas(id, delta).
+
+        Iterating on the *delta* frame alone (never the full rank state)
+        keeps each superstep's plan referencing its predecessor exactly
+        once, so a fused block grows the logical plan linearly instead
+        of 2^k (the rank join would reference the state twice).
+        """
+        active = cur.select(F.col("id").alias("src"), "delta")
         if plan == "csr":
             msgs = _messages_csr(edges_inv, active, damping)
         elif salt_buckets > 1:
             msgs = _messages_salted(edges_inv, active, damping, salt_buckets)
         else:
             msgs = _messages_dataframe(edges_inv, active, damping)
-        msgs = msgs.select(F.col("dst").alias("id"), "recv")
-        ranks_new = (
-            ranks.join(msgs, "id", "left")
-            .select(
-                "id",
-                (F.col("rank") + F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank"),
-                F.coalesce(F.col("recv"), F.lit(0.0)).alias("delta"),
+        return msgs.select(F.col("dst").alias("id"), F.col("recv").alias("delta"))
+
+    history: list[dict] = []
+    ran = 0
+    converged = False
+    it = start_step - 1
+    while it < max_iterations:
+        block = min(max(1, fuse), max_iterations - it)
+        # chain `block` delta supersteps lazily; rank absorbs their sum
+        # in ONE join at the block boundary (delta-push invariant:
+        # rank_t = rank_0 + Σ deltas received, impl/PageRank.java:505-517)
+        cur = ranks.select("id", "delta").filter(F.col("delta") > 0)
+        partials = []
+        for j in range(block):
+            cur = push(cur)
+            partials.append(
+                cur.select("id", "delta", F.lit(int(j == block - 1)).alias("_last"))
             )
+        allp = partials[0]
+        for p in partials[1:]:
+            allp = allp.unionByName(p)
+        upd = allp.groupBy("id").agg(
+            F.sum("delta").alias("_add"),
+            F.sum(F.when(F.col("_last") == 1, F.col("delta")).otherwise(0.0)).alias("_ld"),
         )
-        ranks = cache.step(ranks_new, it, None, value_col="delta")
+        ranks = ranks.join(upd, "id", "left").select(
+            "id",
+            (F.col("rank") + F.coalesce(F.col("_add"), F.lit(0.0))).alias("rank"),
+            F.coalesce(F.col("_ld"), F.lit(0.0)).alias("delta"),
+        )
+        it += block
+        ranks = cache.step(ranks, it, None, value_col="delta")
         if tolerance is not None:
-            # one extra tiny agg per superstep (on the materialized
-            # state — no recompute) buys early exit
+            # one tiny agg per fused block (on the materialized state —
+            # no recompute) buys early exit
             max_delta = ranks.agg(F.max("delta")).collect()[0][0] or 0.0
         else:
             max_delta = None
