@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Strategy: the link-graph kernels run over an edge table extracted from a
+repo-file table derived *deterministically from the driver's `documents`
+testdata* (`sources/link_extract.py`), so a DuckDB oracle can rebuild the
+identical content strings with plain SQL and re-derive the same edges.
+The iterative kernels (PageRank / WCC / LPA) get **unrolled** SQL
+oracles — the exact superstep recurrence expanded to a fixed CTE chain —
+because both engines are deterministic given synchronous semantics.
+Floating-point columns are rounded (6 dp) on BOTH sides so summation
+order can't flip the value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +21,490 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+ROUND = 6  # decimal places for float result columns (both engines)
+
+
+# --------------------------------------------------------------------------
+# shared Spark-side helpers
+# --------------------------------------------------------------------------
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_link_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → repo-file table → vectorized link extraction.
+
+    Returns raw link rows (src, dst, content_sha256) in doc-id space —
+    one row per import line (duplicates preserved)."""
+    from neo4j_graph_algorithms_spark.sources.link_extract import (
+        extract_links,
+        repo_table_from_documents,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    files = repo_table_from_documents(docs)
+    links = extract_links(files)
+    return links.select(
+        F.regexp_extract("path", r"d(\d+)\.py", 1).cast("long").alias("src"),
+        F.regexp_extract("dst_path", r"d(\d+)\.py", 1).cast("long").alias("dst"),
+        "content_sha256",
+    )
+
+
+def _doc_graph(spark: SparkSession, sf_dir: str):
+    """Deduped doc link graph with the full document set as nodes."""
+    from neo4j_graph_algorithms_spark.graph import Graph
+
+    edges = _doc_link_rows(spark, sf_dir).select("src", "dst")
+    nodes = _read(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    return Graph.from_edges(edges, nodes=nodes, dedup=True)
+
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (DuckDB oracle side)
+# --------------------------------------------------------------------------
+
+# content rebuilt exactly as sources.link_extract.repo_table_from_documents
+# builds it: text + chain/hub import lines, self-imports skipped.
+_SQL_DOC_EDGES = r"""
+nn AS (SELECT count(*) AS n FROM documents),
+files AS MATERIALIZED (
+  SELECT doc_id AS i,
+         text
+         || CASE WHEN (doc_id+1) % nn.n <> doc_id
+                 THEN chr(10) || 'import src/d' || ((doc_id+1) % nn.n) || '.py' ELSE '' END
+         || CASE WHEN (doc_id+2) % nn.n <> doc_id
+                 THEN chr(10) || 'import src/d' || ((doc_id+2) % nn.n) || '.py' ELSE '' END
+         || CASE WHEN doc_id % 97 <> doc_id
+                 THEN chr(10) || 'import src/d' || (doc_id % 97) || '.py' ELSE '' END
+         AS content
+  FROM documents, nn
+),
+raw_links AS MATERIALIZED (
+  SELECT i AS src,
+         CAST(unnest(regexp_extract_all(content, 'import src/d(\d+)\.py', 1)) AS BIGINT) AS dst,
+         sha256(content) AS content_sha256
+  FROM files
+),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_links)
+"""
+
+
+def _sql_pagerank_unrolled(iterations: int) -> str:
+    """Reference delta-push recurrence expanded to a CTE chain
+    (init 1-d; push d*delta/outdeg; dangling nodes push nothing)."""
+    parts = [
+        "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),",
+        "r0 AS (SELECT doc_id AS id, 0.15 AS rank, 0.15 AS delta FROM documents),",
+    ]
+    for k in range(1, iterations + 1):
+        p, c = f"r{k - 1}", f"r{k}"
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT e.dst AS id, 0.85 * sum(r.delta / deg.d) AS recv "
+            f"FROM e JOIN {p} r ON e.src = r.id JOIN deg ON deg.src = e.src "
+            f"WHERE r.delta > 0 GROUP BY e.dst),"
+        )
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT r.id, r.rank + coalesce(m.recv, 0) AS rank, "
+            f"coalesce(m.recv, 0) AS delta FROM {p} r LEFT JOIN m{k} m ON r.id = m.id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, ROUND(rank, {ROUND}) AS rank FROM r{iterations} ORDER BY id")
+    return "\n".join(parts)
+
+
+def _sql_wcc_unrolled(rounds: int) -> str:
+    """Min-label fixpoint over the thresholded part–supplier bipartite
+    graph, expanded to `rounds` neighbor-min CTE steps (enough to pass
+    the graph's diameter; convergence asserted by tests/check harness)."""
+    parts = [
+        "WITH edges_t AS MATERIALIZED (",
+        "  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst",
+        "  FROM lineitem WHERE l_quantity >= 48.0),",
+        "nodes AS MATERIALIZED (SELECT DISTINCT l_partkey AS id FROM lineitem",
+        "          UNION SELECT DISTINCT l_suppkey + 1000000 FROM lineitem),",
+        "sym AS MATERIALIZED (SELECT src, dst FROM edges_t",
+        "        UNION SELECT dst, src FROM edges_t),",
+        "c0 AS (SELECT id, id AS component FROM nodes),",
+    ]
+    for k in range(1, rounds + 1):
+        p, c = f"c{k - 1}", f"c{k}"
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT n.id, least(n.component, coalesce(m.mc, n.component)) AS component "
+            f"FROM {p} n LEFT JOIN ("
+            f"SELECT s.dst AS id, min(r.component) AS mc "
+            f"FROM sym s JOIN {p} r ON s.src = r.id GROUP BY s.dst"
+            f") m ON n.id = m.id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, component FROM c{rounds} ORDER BY id")
+    return "\n".join(parts)
+
+
+def _sql_lpa_unrolled(iterations: int) -> str:
+    """Synchronous LPA with parity half-steps and deterministic
+    tie-break (max vote, then min label) — the exact recurrence of
+    operators/label_propagation.py, unit edge weights."""
+    parts = ["WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",",
+             "l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),"]
+    step = 0
+    for _ in range(iterations):
+        for parity in (0, 1):
+            p, c = f"l{step}", f"l{step + 1}"
+            parts.append(
+                f"v{step} AS MATERIALIZED (SELECT e.src AS node, l.label AS nbr_label, "
+                f"sum(1.0) AS vote FROM e JOIN {p} l ON e.dst = l.id "
+                f"GROUP BY e.src, l.label),"
+            )
+            parts.append(
+                f"w{step} AS MATERIALIZED (SELECT node, nbr_label FROM ("
+                f"SELECT node, nbr_label, row_number() OVER "
+                f"(PARTITION BY node ORDER BY vote DESC, nbr_label ASC) AS rn FROM v{step}"
+                f") WHERE rn = 1),"
+            )
+            parts.append(
+                f"{c} AS MATERIALIZED (SELECT l.id, CASE WHEN l.id % 2 = {parity} "
+                f"AND w.nbr_label IS NOT NULL THEN w.nbr_label ELSE l.label END AS label "
+                f"FROM {p} l LEFT JOIN w{step} w ON l.id = w.node),"
+            )
+            step += 1
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, label FROM l{step} ORDER BY id")
+    return "\n".join(parts)
+
+
+_SQL_ORIENTED = (
+    "o AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e),"
+)
+
+_SQL_TRIANGLES = (
+    _SQL_ORIENTED
+    + """
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM o e1 JOIN o e2 ON e1.b = e2.a
+  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+tcount AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id),
+und AS (SELECT a AS u, b AS v FROM o UNION SELECT b, a FROM o),
+deg AS (SELECT u AS id, count(*) AS d FROM und GROUP BY u),
+pernode AS (
+  SELECT n.doc_id AS id,
+         coalesce(t.triangles, 0) AS triangles,
+         CASE WHEN coalesce(deg.d, 0) >= 2
+              THEN 2.0 * coalesce(t.triangles, 0) / (deg.d * (deg.d - 1))
+              ELSE 0.0 END AS coefficient
+  FROM documents n
+  LEFT JOIN tcount t ON n.doc_id = t.id
+  LEFT JOIN deg ON n.doc_id = deg.id)
+"""
+)
+
+# quality-score expressions shared by both engines (pure arithmetic over
+# the text column; identical regex classes in Java regex and RE2)
+_STOPWORDS = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " la ", " et "],
+}
+
+
+def _occurrences_spark(col, pat: str):
+    return (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit("")))) / len(pat)
+
+
+def _occurrences_sql(expr: str, pat: str) -> str:
+    return f"(len({expr}) - len(replace({expr}, '{pat}', ''))) / {len(pat)}"
+
+
+def _langid_spark(docs: DataFrame) -> DataFrame:
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scores = [
+        sum(_occurrences_spark(padded, p) for p in pats).alias(f"s_{lang}")
+        for lang, pats in _STOPWORDS.items()
+    ]
+    scored = docs.select("doc_id", *scores)
+    # argmax with deterministic tie-break: struct sort orders by score
+    # desc then lang desc on ties (mirrored exactly in the SQL oracle)
+    pairs = F.array(*[
+        F.struct(F.col(f"s_{lang}").alias("s"), F.lit(lang).alias("lang"))
+        for lang in _STOPWORDS
+    ])
+    return scored.select(
+        "doc_id",
+        F.sort_array(pairs, asc=False)[0]["lang"].alias("lang_pred"),
+    )
+
+
+def _langid_sql() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    score_cols = ", ".join(
+        "(" + " + ".join(_occurrences_sql(padded, p) for p in pats) + f") AS s_{lang}"
+        for lang, pats in _STOPWORDS.items()
+    )
+    # deterministic argmax: order langs by (score DESC, lang ASC) — but
+    # sort_array desc on (score, lang) picks lang DESC on ties; mirror that
+    struct_list = ", ".join(f"(s_{lang}, '{lang}')" for lang in _STOPWORDS)
+    return f"""
+WITH scored AS (SELECT doc_id, {score_cols} FROM documents),
+ranked AS (
+  SELECT doc_id, unnest.lang AS lang, unnest.s AS s FROM (
+    SELECT doc_id, unnest([{{'s': s_en, 'lang': 'en'}},
+                           {{'s': s_de, 'lang': 'de'}},
+                           {{'s': s_fr, 'lang': 'fr'}}]) AS unnest
+    FROM scored))
+SELECT doc_id, lang AS lang_pred FROM (
+  SELECT doc_id, lang, row_number() OVER
+    (PARTITION BY doc_id ORDER BY s DESC, lang DESC) AS rn
+  FROM ranked) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the link graph extracted from the
+    sf0.001 documents-derived repo table (driver checks rows > 0)."""
+    from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+
+    g = _doc_graph(spark, "/root/testdata/sf0.001").cache()
+    ranks, _stats = pagerank(g, damping=0.85, max_iterations=10)
+    return ranks.select("id", F.round("rank", ROUND).alias("rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from neo4j_graph_algorithms_spark.graph import Graph
+    from neo4j_graph_algorithms_spark.operators.label_propagation import (
+        label_propagation,
+    )
+    from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+    from neo4j_graph_algorithms_spark.operators.triangles import triangle_count
+    from neo4j_graph_algorithms_spark.operators.wcc import component_stats, wcc
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_link_edges(spark, sf):
+        return _doc_link_rows(spark, sf).orderBy("src", "dst")
+
+    def q_out_degree(spark, sf):
+        g = _doc_graph(spark, sf)
+        return g.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").alias("out_degree")
+        )
+
+    def q_degree_distribution(spark, sf):
+        g = _doc_graph(spark, sf)
+        indeg = g.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count("*").alias("degree")
+        )
+        return indeg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+    def q_pagerank(spark, sf):
+        g = _doc_graph(spark, sf).cache()
+        ranks, _ = pagerank(g, damping=0.85, max_iterations=5)
+        return ranks.select("id", F.round("rank", ROUND).alias("rank"))
+
+    def q_wcc(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        edges = li.select(
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+            F.col("l_quantity").alias("weight"),
+        )
+        g = Graph.from_edges(edges, weight="weight", dedup=True).cache()
+        comp, _ = wcc(g, threshold=48.0)
+        return comp
+
+    def q_wcc_sizes(spark, sf):
+        comp = q_wcc(spark, sf)
+        _, sizes = component_stats(comp)
+        return sizes.select("component", F.col("size").alias("n_nodes"))
+
+    def q_triangles(spark, sf):
+        g = _doc_graph(spark, sf).cache()
+        per_node, _ = triangle_count(g)
+        return per_node.select(
+            "id", "triangles", F.round("coefficient", ROUND).alias("coefficient")
+        )
+
+    def q_triangle_stats(spark, sf):
+        g = _doc_graph(spark, sf).cache()
+        per_node, stats = triangle_count(g)
+        return spark.createDataFrame(
+            [(int(stats["triangleCount"]),
+              round(float(stats["averageClusteringCoefficient"]), ROUND))],
+            "triangle_count long, avg_coefficient double",
+        )
+
+    def q_lpa(spark, sf):
+        g = _doc_graph(spark, sf).cache()
+        labels, _ = label_propagation(g, iterations=2, seed_col=None)
+        return labels
+
+    def q_exact_dup_groups(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return docs.groupBy(F.sha2("text", 256).alias("text_sha256")).agg(
+            F.count("*").alias("n_docs")
+        )
+
+    def q_token_counts(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        )
+
+    def q_quality_scores(spark, sf):
+        docs = _read(spark, sf, "documents")
+        t = F.col("text")
+        ln = F.length(t)
+        return docs.select(
+            "doc_id",
+            ln.alias("n_chars"),
+            F.round(F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / ln, ROUND).alias("alpha_ratio"),
+            F.round(F.length(F.regexp_replace(t, "[^0-9]", "")) / ln, ROUND).alias("digit_ratio"),
+            F.round(F.length(F.regexp_replace(t, "[^ ]", "")) / ln, ROUND).alias("space_ratio"),
+        )
+
+    def q_lang_id(spark, sf):
+        return _langid_spark(_read(spark, sf, "documents"))
+
+    def q_doc_fingerprint(spark, sf):
+        docs = _read(spark, sf, "documents")
+        head = F.substring(F.col("text"), 1, 256)
+        shingles = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(head) - 7, F.lit(1))),
+            lambda i: F.md5(head.substr(i, F.lit(8))),
+        )
+        return docs.select("doc_id", F.array_min(shingles).alias("fingerprint"))
+
+    def q_embedding_topk(spark, sf):
+        emb = _read(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        pairs = q.crossJoin(emb.filter(F.col("vec_id") >= 5))
+        dot = F.aggregate(
+            F.zip_with("qv", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
+        nv = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+        sims = pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"),
+            (dot / (nq * nv)).alias("sim"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+        )
+
+    def q_events_hourly(spark, sf):
+        ev = _read(spark, sf, "events")
+        return ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), ROUND).alias("sum_value"),
+        )
+
+    return {
+        "link_edges": q_link_edges,
+        "out_degree": q_out_degree,
+        "degree_distribution": q_degree_distribution,
+        "pagerank": q_pagerank,
+        "wcc": q_wcc,
+        "wcc_sizes": q_wcc_sizes,
+        "triangles": q_triangles,
+        "triangle_stats": q_triangle_stats,
+        "label_propagation": q_lpa,
+        "exact_dup_groups": q_exact_dup_groups,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    edges_cte = "WITH " + _SQL_DOC_EDGES.strip().rstrip(",")
+    return {
+        "link_edges": (
+            edges_cte
+            + "\nSELECT src, dst, content_sha256 FROM raw_links ORDER BY src, dst"
+        ),
+        "out_degree": (
+            edges_cte
+            + "\nSELECT src AS id, count(*) AS out_degree FROM e GROUP BY src"
+        ),
+        "degree_distribution": (
+            edges_cte
+            + """
+, indeg AS (SELECT dst AS id, count(*) AS degree FROM e GROUP BY dst)
+SELECT degree, count(*) AS n_nodes FROM indeg GROUP BY degree"""
+        ),
+        "pagerank": _sql_pagerank_unrolled(5),
+        "wcc": _sql_wcc_unrolled(14),
+        "wcc_sizes": (
+            "WITH base AS (" + _sql_wcc_unrolled(14).replace("ORDER BY id", "") + ")\n"
+            "SELECT component, count(*) AS n_nodes FROM base GROUP BY component"
+        ),
+        "triangles": (
+            edges_cte + ",\n" + _SQL_TRIANGLES.strip().rstrip(",")
+            + f"\nSELECT id, triangles, ROUND(coefficient, {ROUND}) AS coefficient FROM pernode"
+        ),
+        "triangle_stats": (
+            edges_cte + ",\n" + _SQL_TRIANGLES.strip().rstrip(",")
+            + f"""
+SELECT (SELECT count(*) FROM tri) AS triangle_count,
+       ROUND((SELECT avg(coefficient) FROM pernode), {ROUND}) AS avg_coefficient"""
+        ),
+        "label_propagation": _sql_lpa_unrolled(2),
+        "exact_dup_groups": """
+SELECT sha256(text) AS text_sha256, count(*) AS n_docs
+FROM documents GROUP BY sha256(text)""",
+        "token_counts": r"""
+SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+FROM documents""",
+        "quality_scores": f"""
+SELECT doc_id,
+       len(text) AS n_chars,
+       ROUND(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text), {ROUND}) AS alpha_ratio,
+       ROUND(len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / len(text), {ROUND}) AS digit_ratio,
+       ROUND(len(regexp_replace(text, '[^ ]', '', 'g')) * 1.0 / len(text), {ROUND}) AS space_ratio
+FROM documents""",
+        "lang_id": _langid_sql(),
+        "doc_fingerprint": """
+WITH heads AS (SELECT doc_id, substr(text, 1, 256) AS h FROM documents),
+idx AS (SELECT i FROM generate_series(1, 256) t(i)),
+sh AS (SELECT doc_id, md5(substr(h, CAST(i AS INT), 8)) AS m
+       FROM heads JOIN idx ON i <= greatest(len(h) - 7, 1))
+SELECT doc_id, min(m) AS fingerprint FROM sh GROUP BY doc_id""",
+        "embedding_topk": """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+pairs AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_dot_product(q.qv, e.v) /
+         (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+  FROM q CROSS JOIN emb e WHERE e.vec_id >= 5)
+SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs) WHERE rank <= 3""",
+        "events_hourly": f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, ROUND(sum(value), {ROUND}) AS sum_value
+FROM events GROUP BY 1, 2""",
+    }

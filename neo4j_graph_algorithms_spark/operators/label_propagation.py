@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpointing import IterationCache
+from ..plans.checkpointing import IterationCache, adaptive_disabled
 
 
 def label_propagation(
@@ -121,19 +121,20 @@ def label_propagation(
             "id", F.coalesce(F.col("new_label"), F.col("label")).alias("label")
         )
 
-    for it in range(1, iterations + 1):
-        stepped = half_step(half_step(labels, 0), 1)
-        stepped = stepped.persist()
-        changed = (
-            stepped.join(labels.withColumnRenamed("label", "prev"), "id")
-            .filter(F.col("label") != F.col("prev"))
-            .count()
-        )
-        labels = cache.step(stepped, it, {"changed": changed})
-        ran = it
-        if changed == 0:
-            converged = True
-            break
+    with adaptive_disabled(spark):
+        for it in range(1, iterations + 1):
+            stepped = cache.step(half_step(half_step(labels, 0), 1), it)
+            changed = (
+                stepped.join(labels.withColumnRenamed("label", "prev"), "id")
+                .filter(F.col("label") != F.col("prev"))
+                .count()
+            )
+            cache.history[-1]["changed"] = changed
+            labels = stepped
+            ran = it
+            if changed == 0:
+                converged = True
+                break
 
     stats = {
         "ranIterations": ran,

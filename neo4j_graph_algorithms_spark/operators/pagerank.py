@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpointing import IterationCache
+from ..plans.checkpointing import IterationCache, adaptive_disabled
 
 
 def _messages_dataframe(edges_inv: DataFrame, active: DataFrame, damping: float) -> DataFrame:
@@ -128,7 +128,7 @@ def pagerank(
     checkpoint_every: int = 5,
     resume: bool = False,
     num_partitions: int | None = None,
-    fuse: int = 1,
+    fuse: int = 5,
 ) -> tuple[DataFrame, dict]:
     """Run PageRank; returns (ranks(id, rank), stats).
 
@@ -136,15 +136,19 @@ def pagerank(
     (`algo/.../results/PageRankScore.java` Stats: nodes, iterations,
     computeMillis) plus per-superstep convergence history.
 
-    ``fuse`` chains that many supersteps into ONE Spark job before
-    materializing (join+agg plans compose lazily), amortizing the
-    fixed per-job scheduling cost that otherwise dominates when a
-    superstep's data work is smaller than the scheduler overhead —
-    the Spark analogue of the reference re-submitting ComputeSteps
-    without tearing the thread pool down between iterations
-    (`impl/PageRank.java:344-354`). Convergence is checked once per
-    fused block, so a run may execute up to ``fuse-1`` extra
-    supersteps past tolerance (harmless: deltas only shrink).
+    Execution shape (the delta-push invariant rank_t = rank_0 +
+    Σ deltas received, `impl/PageRank.java:505-517`, lets the loop
+    iterate on the 2-column *delta* frame alone):
+
+    - per superstep: ``edges ⨝ delta`` (edge table cached + hash-
+      partitioned once, only the delta frame shuffles) → two-phase
+      sum by dst → materialize. No rank state is touched.
+    - every ``fuse`` supersteps the materialized delta frames fold
+      into the running rank accumulator with one union+sum job.
+
+    This keeps per-superstep shuffle volume at O(active) and the
+    stage count at 2, which is what the N→4N scaling criterion needs
+    — fixed scheduling overhead is the enemy of scaling efficiency.
     """
     spark = graph.edges.sparkSession
     t0 = time.time()
@@ -155,15 +159,19 @@ def pagerank(
     edges_with_inv = graph.edges.join(out_deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("degree")).alias("inv_deg")
     )
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
     if plan == "csr":
         from ..plans.partitioning import degree_budget_partition
 
-        edges_inv = degree_budget_partition(
-            edges_with_inv,
-            num_partitions=num_partitions or spark.sparkContext.defaultParallelism,
-        ).persist()
+        edges_inv = degree_budget_partition(edges_with_inv, num_partitions=n_parts).persist()
     else:
-        edges_inv = edges_with_inv.persist()
+        # hash-partition the edge table by src ONCE and cache: every
+        # superstep's `edges ⨝ active` then reuses the cached
+        # partitioning (InMemoryRelation preserves outputPartitioning),
+        # so only the small delta frame shuffles — the edge table never
+        # moves again. This is the property that keeps per-superstep
+        # shuffle volume O(V) instead of O(E) at 100 TB scale.
+        edges_inv = edges_with_inv.repartition(n_parts, "src").persist()
     edges_inv.count()
 
     alpha = 1.0 - damping
@@ -175,17 +183,17 @@ def pagerank(
     )
 
     start_step = 0
-    ranks = None
+    state = None
     if resume and checkpoint_dir:
         latest = cache.latest()
         if latest is not None:
-            start_step, ranks, _meta = latest
+            start_step, state, _meta = latest
             start_step += 1
-    if ranks is None:
-        ranks = graph.nodes.select(
+    if state is None:
+        state = graph.nodes.select(
             "id", F.lit(alpha).alias("rank"), F.lit(alpha).alias("delta")
         )
-        ranks = cache.step(ranks, 0, {"phase": "init"}, value_col="delta")
+        state = cache.step(state, 0, {"phase": "init"}, value_col="delta")
         start_step = 1
 
     def push(cur: DataFrame) -> DataFrame:
@@ -208,46 +216,77 @@ def pagerank(
     history: list[dict] = []
     ran = 0
     converged = False
-    it = start_step - 1
-    while it < max_iterations:
-        block = min(max(1, fuse), max_iterations - it)
-        # chain `block` delta supersteps lazily; rank absorbs their sum
-        # in ONE join at the block boundary (delta-push invariant:
-        # rank_t = rank_0 + Σ deltas received, impl/PageRank.java:505-517)
-        cur = ranks.select("id", "delta").filter(F.col("delta") > 0)
-        partials = []
-        for j in range(block):
-            cur = push(cur)
-            partials.append(
-                cur.select("id", "delta", F.lit(int(j == block - 1)).alias("_last"))
-            )
-        allp = partials[0]
-        for p in partials[1:]:
-            allp = allp.unionByName(p)
-        upd = allp.groupBy("id").agg(
-            F.sum("delta").alias("_add"),
-            F.sum(F.when(F.col("_last") == 1, F.col("delta")).otherwise(0.0)).alias("_ld"),
-        )
-        ranks = ranks.join(upd, "id", "left").select(
-            "id",
-            (F.col("rank") + F.coalesce(F.col("_add"), F.lit(0.0))).alias("rank"),
-            F.coalesce(F.col("_ld"), F.lit(0.0)).alias("delta"),
-        )
-        it += block
-        ranks = cache.step(ranks, it, None, value_col="delta")
-        if tolerance is not None:
-            # one tiny agg per fused block (on the materialized state —
-            # no recompute) buys early exit
-            max_delta = ranks.agg(F.max("delta")).collect()[0][0] or 0.0
-        else:
-            max_delta = None
-        ran = it
-        history.append({"superstep": it, "max_delta": max_delta})
-        if tolerance is not None and max_delta < tolerance:
-            converged = True
-            break
+    fold = max(1, fuse)
+    acc = state.select("id", "rank")
+    cur = state.select("id", "delta").filter(F.col("delta") > 0)
+    pending: list[DataFrame] = []
 
-    result = ranks.select("id", "rank")
+    def fold_state(acc: DataFrame, pending: list[DataFrame], cur: DataFrame) -> DataFrame:
+        """acc + Σ pending deltas → (id, rank, delta=last delta).
+
+        Each pending frame is re-rooted as a plain RDD scan
+        (localCheckpoint reads straight from its cache) before the
+        union: union branches over multi-level cached JOIN chains defeat
+        Catalyst's cache substitution above the broadcast threshold and
+        silently RE-EXECUTE the whole chain (measured 49s vs 1.2s for an
+        11-frame fold at 2M nodes)."""
+        frames = [p.localCheckpoint(eager=True) for p in pending]
+        allp = acc.select("id", F.col("rank").alias("v"))
+        last = frames[-1] if frames else cur
+        for p in frames:
+            allp = allp.unionByName(p.select("id", F.col("delta").alias("v")))
+        folded = allp.groupBy("id").agg(F.sum("v").alias("rank"))
+        return folded.join(last, "id", "left").select(
+            "id", "rank", F.coalesce(F.col("delta"), F.lit(0.0)).alias("delta")
+        )
+
+    with adaptive_disabled(spark):
+        for it in range(start_step, max_iterations + 1):
+            t_it = time.time()
+            # persist() (not localCheckpoint) keeps the hash(dst) output
+            # partitioning visible to Catalyst, so the next superstep's
+            # edge join needs NO exchange; the InMemoryRelation chain
+            # stays ≤ fuse deep because every fold below re-roots it
+            cur = push(cur).persist()
+            cur.count()
+            pending.append(cur)
+            ran = it
+            if tolerance is not None:
+                max_delta = cur.agg(F.max("delta")).collect()[0][0] or 0.0
+                if max_delta < tolerance:
+                    converged = True
+            else:
+                max_delta = None
+            last = converged or it == max_iterations
+            folded = False
+            if len(pending) >= fold or last or (
+                checkpoint_dir is not None and it % cache.checkpoint_every == 0
+            ):
+                # the fold doubles as lineage truncation: the folded
+                # state materializes through IterationCache (durable
+                # parquet or eager localCheckpoint), and the frontier is
+                # RE-ROOTED at that materialized state so every
+                # per-block chain hangs off exactly one truncated root —
+                # unions mixing several localCheckpoint roots defeat
+                # Catalyst's cache lookup and recompute the chains
+                # (measured: 11-frame mixed-root fold 49s vs 1.2s)
+                state = cache.step(
+                    fold_state(acc, pending, cur), it, None, value_col="delta"
+                )
+                acc = state.select("id", "rank")
+                for p in pending:
+                    p.unpersist()
+                pending = []
+                cur = state.select("id", "delta").filter(F.col("delta") > 0)
+                folded = True
+            history.append({
+                "superstep": it, "max_delta": max_delta,
+                "secs": round(time.time() - t_it, 2), "folded": folded,
+            })
+            if last:
+                break
+
+    result = acc
     stats = {
         "nodes": graph.node_count(),
         "iterations": ran,

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpointing import IterationCache
+from ..plans.checkpointing import IterationCache, adaptive_disabled
 
 
 def wcc(
@@ -69,43 +69,45 @@ def wcc(
 
     ran = 0
     converged = False
-    for it in range(1, max_iterations + 1):
-        # neighbor-min: every node pulls the smallest component label
-        # reachable over one (undirected) hop
-        nbr_min = (
-            sym.join(comp.select(F.col("id").alias("src"), "component"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("nbr_comp"))
-        )
-        stepped = (
-            comp.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
-                ).alias("component"),
+    with adaptive_disabled(spark):
+        for it in range(1, max_iterations + 1):
+            # neighbor-min: every node pulls the smallest component label
+            # reachable over one (undirected) hop
+            nbr_min = (
+                sym.join(comp.select(F.col("id").alias("src"), "component"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("component").alias("nbr_comp"))
             )
-        )
-        # pointer jumping: component := component(component) — compresses
-        # label chains (distributed path compression)
-        parent = stepped.select(
-            F.col("id").alias("component"), F.col("component").alias("jump")
-        )
-        jumped = (
-            stepped.join(parent, "component", "left")
-            .select("id", F.coalesce(F.col("jump"), F.col("component")).alias("component"))
-        )
-        jumped = jumped.persist()
-        changed = (
-            jumped.join(comp.withColumnRenamed("component", "prev"), "id")
-            .filter(F.col("component") != F.col("prev"))
-            .count()
-        )
-        comp = cache.step(jumped, it, {"changed": changed})
-        ran = it
-        if changed == 0:
-            converged = True
-            break
+            stepped = (
+                comp.join(nbr_min, "id", "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                    ).alias("component"),
+                )
+            )
+            # pointer jumping: component := component(component) —
+            # compresses label chains (distributed path compression)
+            parent = stepped.select(
+                F.col("id").alias("component"), F.col("component").alias("jump")
+            )
+            jumped = (
+                stepped.join(parent, "component", "left")
+                .select("id", F.coalesce(F.col("jump"), F.col("component")).alias("component"))
+            )
+            jumped = cache.step(jumped, it)
+            changed = (
+                jumped.join(comp.withColumnRenamed("component", "prev"), "id")
+                .filter(F.col("component") != F.col("prev"))
+                .count()
+            )
+            cache.history[-1]["changed"] = changed
+            comp = jumped
+            ran = it
+            if changed == 0:
+                converged = True
+                break
 
     stats = {
         "iterations": ran,

@@ -41,10 +41,19 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # iterative kernels join a big cached hash-partitioned edge table
+        # with a small per-superstep state frame: a shuffled-hash join
+        # probes the cached side in place, where sort-merge would re-sort
+        # the edge partitions every superstep
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # iterative kernels retire a localCheckpoint per superstep; the
+        # blocks are only freed when the JVM GCs the RDD handle, so an
+        # aggressive periodic GC keeps BlockManager storage flat
+        .config("spark.cleaner.periodicGC.interval", "30s")
     )
     if extra_conf:
         for k, v in extra_conf.items():
