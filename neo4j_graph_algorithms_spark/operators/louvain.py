@@ -1,0 +1,118 @@
+"""Single-level Louvain community detection — `algo.louvain`.
+
+Reference (`impl/louvain/Louvain.java:99-140`, weighted twin
+`WeightedLouvain.java`, parallel `ParallelLouvain.java`): NO hierarchy /
+coarsening — one level only. Init: every node its own community; per
+iteration each node joins the neighbor community with maximal modularity
+gain ``ΔQ = w_in/m2 − (k_i · Σtot) / m2²`` (m2 = 2m init at :77-97),
+stopping after `iterations` rounds or when no node moves. The fixture
+(`tests/.../impl/LouvainTest.java:60-86, 215-226`): two 4-cliques
+{a,b,c,d} and {e,f,g,h} plus bridge e→b — unweighted: {a,c,d} together,
+{f,g,h} together, a/f/z disjoint; with w(e→b)=5 also {b,e} together.
+
+Spark rebuild: synchronous rounds with the same parity trick as LPA
+(adjacent same-parity nodes never move against the same snapshot, so
+two symmetric nodes can't swap forever); the reference's sequential
+node order is nondeterministic-by-thread anyway and its tests assert
+converged partitions only. Per round: one `edges ⨝ communities` +
+two-phase agg for neighbor-community weights, a broadcast-size agg for
+community totals, and a window argmax for the best gain.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..graph import Graph, undirect
+from ..plans.checkpointing import adaptive_disabled
+
+
+def louvain(
+    graph: Graph,
+    iterations: int = 10,
+) -> tuple[DataFrame, dict]:
+    """Returns (communities(id, community), stats with ranIterations)."""
+    spark = graph.edges.sparkSession
+    t0 = time.time()
+    n_parts = spark.sparkContext.defaultParallelism
+    # undirected weighted adjacency (reference loads BOTH and treats the
+    # graph as undirected for modularity)
+    sym = undirect(graph.edges, dedup=True).repartition(n_parts, "src").persist()
+    m2 = sym.agg(F.sum("weight")).collect()[0][0] or 1.0  # == 2m
+    k = sym.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("k")).persist()
+    k.count()
+
+    comm = graph.nodes.select("id", F.col("id").alias("community"))
+    ran = 0
+    converged = False
+
+    w = Window.partitionBy("id").orderBy(F.desc("gain"), F.asc("community"))
+
+    def half_round(comm: DataFrame, parity: int) -> DataFrame:
+        cd = comm.select(F.col("id").alias("dst"), F.col("community"))
+        # w_in(i→C) = Σ weights from i into community C
+        win = (
+            sym.join(cd, "dst")
+            .groupBy(F.col("src").alias("id"), "community")
+            .agg(F.sum("weight").alias("w_in"))
+        )
+        # Σtot per community (excluding i's own k when i ∈ C — the
+        # reference evaluates the gain of *joining*; for i's current
+        # community its own degree must not count against it)
+        tot = (
+            comm.join(k, "id")
+            .groupBy("community")
+            .agg(F.sum("k").alias("tot"))
+        )
+        self_comm = comm.select("id", F.col("community").alias("own"))
+        cand = (
+            win.join(F.broadcast(tot), "community")
+            .join(k, "id")
+            .join(self_comm, "id")
+            .select(
+                "id", "community",
+                (
+                    F.col("w_in") / m2
+                    - (F.col("k") * (F.col("tot") - F.when(F.col("community") == F.col("own"), F.col("k")).otherwise(0.0)))
+                    / (m2 * m2)
+                ).alias("gain"),
+            )
+        )
+        best = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .filter(F.col("gain") > 0)
+            .filter(F.pmod("id", F.lit(2)) == parity)
+            .select("id", F.col("community").alias("new_c"))
+        )
+        return comm.join(best, "id", "left").select(
+            "id", F.coalesce("new_c", "community").alias("community")
+        )
+
+    with adaptive_disabled(spark):
+        comm = comm.localCheckpoint(eager=True)
+        for it in range(1, iterations + 1):
+            stepped = half_round(half_round(comm, 0), 1).localCheckpoint(eager=True)
+            changed = (
+                stepped.join(comm.withColumnRenamed("community", "prev"), "id")
+                .filter(F.col("community") != F.col("prev"))
+                .count()
+            )
+            comm = stepped
+            ran = it
+            if changed == 0:
+                converged = True
+                break
+    sym.unpersist()
+    k.unpersist()
+    n_comm = comm.select("community").distinct().count()
+    stats = {
+        "ranIterations": ran,
+        "didConverge": converged,
+        "communityCount": n_comm,
+        "computeMillis": int((time.time() - t0) * 1000),
+    }
+    return comm, stats

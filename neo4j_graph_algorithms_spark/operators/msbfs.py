@@ -1,0 +1,255 @@
+"""Multi-source BFS engine + the centralities built on it.
+
+Reference: bit-parallel MS-BFS — ω=32 sources tracked per machine word,
+per VLDB'15 "The More the Merrier" (`impl/msbfs/MultiSourceBFS.java:33-79`,
+bitsets `BiMultiBitSet32.java`, `MultiBitSet32.java`). Consumers:
+
+- `algo.closeness` — farness accumulated per depth, C(v) = (n-1)/farness
+  (`impl/MSClosenessCentrality.java:43-95`; fixture
+  `tests/.../impl/ClosenessCentralityTest.java:73`)
+- `algo.harmonic` — Σ 1/depth, normalized by (n-1)
+  (`impl/MSHarmonicCentrality.java:55-79`; fixture
+  `tests/.../impl/HarmonicCentralityTest.java:126-131` implies BOTH
+  traversal: a→b→c / d→e yields [0.375, 0.5, 0.375, 0.25, 0.25])
+- `algo.allShortestPaths.stream` unweighted — (source, target, depth)
+  rows (`impl/MSBFSAllShortestPaths.java`)
+
+Spark rebuild: the per-word bitset becomes a LongType `mask` column —
+64 sources per batch (vs the reference's 32 per int) — and ALL batches
+advance in the same superstep: the frontier DataFrame is keyed
+``(batch, node, mask)``, so one `edges ⨝ frontier` + `groupBy(batch,
+node).agg(bit_or(mask))` per depth serves every batch at once. Per-depth
+shuffle volume is O(frontier), edges stay cached and hash-partitioned.
+`visited` is a second (batch, node, seen_mask) frame updated with the
+same cadence (persist + fold-style truncation as in PageRank).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..graph import Graph, undirect
+from ..plans.checkpointing import adaptive_disabled
+
+
+def _sym_edges(graph: Graph, direction: str) -> DataFrame:
+    if direction == "out":
+        return graph.edges.select("src", "dst")
+    if direction == "in":
+        return graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return undirect(graph.edges).select("src", "dst")
+
+
+def ms_bfs_depths(
+    graph: Graph,
+    direction: str = "both",
+    sources: DataFrame | None = None,
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Run MS-BFS from every source (default: all nodes).
+
+    Returns ``(node, depth, n_sources)``: how many sources reach `node`
+    at shortest-path distance `depth` (depth ≥ 1). This is the exact
+    aggregate both closeness (Σ depth·n) and harmonic (Σ n/depth)
+    consume, without materializing the O(V²) pair list.
+    """
+    spark = graph.edges.sparkSession
+    edges = _sym_edges(graph, direction)
+    n_parts = spark.sparkContext.defaultParallelism
+    edges = edges.repartition(n_parts, "src").persist()
+    edges.count()
+
+    src_nodes = sources if sources is not None else graph.nodes.select("id")
+    # batch id + bit position per source: 64 sources per batch (the
+    # global row_number is over the SOURCE list — fine for fixture-scale
+    # source sets; at 10^12 nodes sources come pre-batched by range)
+    rn = F.row_number().over(Window.orderBy("id")) - 1
+    numbered = src_nodes.select(
+        "id",
+        F.floor(rn / 64).alias("batch"),
+        (rn % 64).alias("bit"),
+    )
+    frontier = numbered.select(
+        "batch", F.col("id").alias("node"),
+        F.expr("shiftleft(1L, cast(bit as int))").alias("mask"),
+    )
+    visited = frontier.withColumnRenamed("mask", "seen")
+
+    out_rows = []
+    depth = 0
+    results: DataFrame | None = None
+    with adaptive_disabled(spark):
+        frontier = frontier.localCheckpoint(eager=True)
+        visited = visited.localCheckpoint(eager=True)
+        while True:
+            depth += 1
+            if max_depth is not None and depth > max_depth:
+                break
+            # expand: every frontier bit flows along the edges
+            nxt = (
+                edges.join(frontier.withColumnRenamed("node", "src"), "src")
+                .groupBy("batch", F.col("dst").alias("node"))
+                .agg(F.bit_or("mask").alias("mask"))
+            )
+            # drop bits already seen
+            nxt = (
+                nxt.join(visited, ["batch", "node"], "left")
+                .select(
+                    "batch", "node",
+                    F.col("mask").bitwiseAND(F.bitwise_not(F.coalesce(F.col("seen"), F.lit(0).cast("long")))).alias("mask"),
+                )
+                .filter(F.col("mask") != 0)
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            contrib = nxt.select(
+                "node", F.lit(depth).alias("depth"), F.bit_count("mask").alias("n_sources")
+            ).groupBy("node", "depth").agg(F.sum("n_sources").alias("n_sources"))
+            results = contrib if results is None else results.unionByName(contrib)
+            results = results.localCheckpoint(eager=True)
+            visited = (
+                visited.join(nxt.withColumnRenamed("mask", "new"), ["batch", "node"], "full")
+                .select(
+                    "batch", "node",
+                    F.coalesce(F.col("seen"), F.lit(0).cast("long")).bitwiseOR(F.coalesce(F.col("new"), F.lit(0).cast("long"))).alias("seen"),
+                )
+            ).localCheckpoint(eager=True)
+            frontier = nxt
+    edges.unpersist()
+    if results is None:
+        schema = "node long, depth int, n_sources long"
+        return spark.createDataFrame([], schema)
+    return results
+
+
+def closeness(graph: Graph, direction: str = "both") -> tuple[DataFrame, dict]:
+    """C(v) = (n-1) / Σ_s d(s, v); 0 for unreachable/isolated nodes.
+
+    Ref `impl/MSClosenessCentrality.java:43-95` — farness from MS-BFS,
+    the (n-1) numerator regardless of component size.
+    """
+    t0 = time.time()
+    n = graph.node_count()
+    depths = ms_bfs_depths(graph, direction)
+    farness = depths.groupBy(F.col("node").alias("id")).agg(
+        F.sum(F.col("depth") * F.col("n_sources")).alias("farness")
+    )
+    result = graph.nodes.select("id").join(farness, "id", "left").select(
+        "id",
+        F.when(
+            F.coalesce(F.col("farness"), F.lit(0)) > 0,
+            F.lit(float(n - 1)) / F.col("farness"),
+        ).otherwise(F.lit(0.0)).alias("centrality"),
+    )
+    return result, {"nodes": n, "computeMillis": int((time.time() - t0) * 1000)}
+
+
+def harmonic(graph: Graph, direction: str = "both") -> tuple[DataFrame, dict]:
+    """H(v) = (Σ_s 1/d(s, v)) / (n-1) — ref
+    `impl/MSHarmonicCentrality.java:55-79`."""
+    t0 = time.time()
+    n = graph.node_count()
+    depths = ms_bfs_depths(graph, direction)
+    inv = depths.groupBy(F.col("node").alias("id")).agg(
+        F.sum(F.col("n_sources") / F.col("depth")).alias("inv_sum")
+    )
+    result = graph.nodes.select("id").join(inv, "id", "left").select(
+        "id",
+        (F.coalesce(F.col("inv_sum"), F.lit(0.0)) / F.lit(float(max(n - 1, 1)))).alias("centrality"),
+    )
+    return result, {"nodes": n, "computeMillis": int((time.time() - t0) * 1000)}
+
+
+def all_shortest_paths(
+    graph: Graph, direction: str = "out", max_depth: int | None = None
+) -> DataFrame:
+    """Unweighted all-pairs (source, target, depth) rows — the
+    `algo.allShortestPaths.stream` MS-BFS variant
+    (`impl/MSBFSAllShortestPaths.java`). O(V²) output by nature: the
+    result stays distributed; callers filter/write rather than collect.
+
+    Spark shape: the bitmask frontier can't carry *which* source each
+    bit is without the source numbering, so this variant re-joins the
+    per-depth frontier against the (batch, bit) → source map and
+    explodes set bits (`F.filter` over a 0..63 sequence — JVM-side,
+    no Python row loop).
+    """
+    spark = graph.edges.sparkSession
+    from pyspark.sql import Window
+
+    src_nodes = graph.nodes.select("id")
+    numbered = src_nodes.select(
+        "id",
+        F.floor((F.row_number().over(Window.orderBy("id")) - 1) / 64).alias("batch"),
+        ((F.row_number().over(Window.orderBy("id")) - 1) % 64).alias("bit"),
+    ).persist()
+
+    edges = _sym_edges(graph, direction)
+    n_parts = spark.sparkContext.defaultParallelism
+    edges = edges.repartition(n_parts, "src").persist()
+
+    frontier = numbered.select(
+        "batch", F.col("id").alias("node"),
+        F.expr("shiftleft(1L, cast(bit as int))").alias("mask"),
+    )
+    visited = frontier.withColumnRenamed("mask", "seen")
+
+
+    results: DataFrame | None = None
+    depth = 0
+    with adaptive_disabled(spark):
+        frontier = frontier.localCheckpoint(eager=True)
+        visited = visited.localCheckpoint(eager=True)
+        while True:
+            depth += 1
+            if max_depth is not None and depth > max_depth:
+                break
+            nxt = (
+                edges.join(frontier.withColumnRenamed("node", "src"), "src")
+                .groupBy("batch", F.col("dst").alias("node"))
+                .agg(F.bit_or("mask").alias("mask"))
+                .join(visited, ["batch", "node"], "left")
+                .select(
+                    "batch", "node",
+                    F.col("mask").bitwiseAND(F.bitwise_not(F.coalesce(F.col("seen"), F.lit(0).cast("long")))).alias("mask"),
+                )
+                .filter(F.col("mask") != 0)
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            # explode set bits → (batch, bit) → join back to source ids
+            hits = nxt.select(
+                "batch", "node",
+                F.explode(
+                    F.expr("filter(sequence(0, 63), b -> (mask & shiftleft(1L, b)) != 0)")
+                ).alias("bit"),
+            )
+            rows = (
+                hits.join(numbered, ["batch", "bit"])
+                .select(
+                    F.col("id").alias("source"),
+                    F.col("node").alias("target"),
+                    F.lit(depth).alias("depth"),
+                )
+            )
+            results = rows if results is None else results.unionByName(rows)
+            results = results.localCheckpoint(eager=True)
+            visited = (
+                visited.join(nxt.withColumnRenamed("mask", "new"), ["batch", "node"], "full")
+                .select(
+                    "batch", "node",
+                    F.coalesce(F.col("seen"), F.lit(0).cast("long")).bitwiseOR(F.coalesce(F.col("new"), F.lit(0).cast("long"))).alias("seen"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            frontier = nxt
+    edges.unpersist()
+    numbered.unpersist()
+    if results is None:
+        return spark.createDataFrame([], "source long, target long, depth int")
+    return results
