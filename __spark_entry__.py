@@ -47,11 +47,15 @@ def _doc_link_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     files = repo_table_from_documents(docs)
     links = extract_links(files)
+    # anchored doc-id extraction; targets that aren't src/d<N>.py (an
+    # import-looking line in the document text) extract as '' → NULL
+    # after the cast and are DROPPED — matching the oracle regex, which
+    # only ever captures src/d<N>.py targets
     return links.select(
-        F.regexp_extract("path", r"d(\d+)\.py", 1).cast("long").alias("src"),
-        F.regexp_extract("dst_path", r"d(\d+)\.py", 1).cast("long").alias("dst"),
+        F.regexp_extract("path", r"^src/d(\d+)\.py$", 1).cast("long").alias("src"),
+        F.regexp_extract("dst_path", r"^src/d(\d+)\.py$", 1).cast("long").alias("dst"),
         "content_sha256",
-    )
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
 
 
 def _doc_graph(spark: SparkSession, sf_dir: str):
@@ -85,11 +89,18 @@ files AS MATERIALIZED (
 ),
 raw_links AS MATERIALIZED (
   SELECT i AS src,
-         CAST(unnest(regexp_extract_all(content, 'import src/d(\d+)\.py', 1)) AS BIGINT) AS dst,
+         CAST(unnest(regexp_extract_all(content, '(?m)^import\s+(src/d\d+\.py)$', 1)) AS VARCHAR) AS dst_path,
          sha256(content) AS content_sha256
   FROM files
 ),
-e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_links)
+resolved AS MATERIALIZED (
+  SELECT src,
+         CAST(regexp_extract(dst_path, '^src/d(\d+)\.py$', 1) AS BIGINT) AS dst,
+         content_sha256
+  FROM raw_links
+  WHERE regexp_extract(dst_path, '^src/d(\d+)\.py$', 1) <> ''
+),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM resolved)
 """
 
 
@@ -174,6 +185,61 @@ def _sql_lpa_unrolled(iterations: int) -> str:
             step += 1
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT id, label FROM l{step} ORDER BY id")
+    return "\n".join(parts)
+
+
+def _sql_sssp_unrolled(rounds: int) -> str:
+    """k-round Bellman-Ford relaxation from doc 0 with weight
+    (src % 7) + 1 — exactly the hop-bounded distances the frontier
+    relaxation in operators/shortest_path.py produces after k rounds."""
+    parts = [
+        "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",",
+        "we AS MATERIALIZED (SELECT src, dst, (src % 7) + 1.0 AS w FROM e),",
+        "d0 AS (SELECT doc_id AS id, CASE WHEN doc_id = 0 THEN 0.0 "
+        "ELSE CAST('infinity' AS DOUBLE) END AS dist FROM documents),",
+    ]
+    for k in range(1, rounds + 1):
+        p, c = f"d{k - 1}", f"d{k}"
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT n.id, least(n.dist, "
+            f"coalesce(m.nd, CAST('infinity' AS DOUBLE))) AS dist "
+            f"FROM {p} n LEFT JOIN ("
+            f"SELECT we.dst AS id, min(r.dist + we.w) AS nd "
+            f"FROM we JOIN {p} r ON we.src = r.id "
+            f"WHERE r.dist < CAST('infinity' AS DOUBLE) GROUP BY we.dst"
+            f") m ON n.id = m.id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, ROUND(dist, {ROUND}) AS distance FROM d{rounds} "
+        "WHERE dist < CAST('infinity' AS DOUBLE) ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+def _sql_apsp_unrolled(max_depth: int) -> str:
+    """Depth-bounded unweighted BFS all-pairs: frontier f_k = unseen
+    successors of f_{k-1}; cumulative c_k tracks shortest depth."""
+    parts = [
+        "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",",
+        "c0 AS (SELECT doc_id AS source, doc_id AS target, 0 AS depth FROM documents),",
+        "f0 AS (SELECT * FROM c0),",
+    ]
+    for k in range(1, max_depth + 1):
+        parts.append(
+            f"f{k} AS MATERIALIZED (SELECT DISTINCT f.source, e.dst AS target, {k} AS depth "
+            f"FROM f{k - 1} f JOIN e ON e.src = f.target "
+            f"WHERE NOT EXISTS (SELECT 1 FROM c{k - 1} c "
+            f"WHERE c.source = f.source AND c.target = e.dst)),"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT * FROM c{k - 1} UNION ALL SELECT * FROM f{k}),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT source, target, depth FROM c{max_depth} WHERE depth > 0 "
+        "ORDER BY source, target"
+    )
     return "\n".join(parts)
 
 
@@ -444,6 +510,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = lsh_cosine_topk(q, c, k=3, n_tables=8, n_bits=8)
         return out.select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
 
+    def q_sssp_hops12(spark, sf):
+        # 12-hop-bounded weighted SSSP from doc 0 (frontier Bellman-Ford
+        # after k rounds == min cost over paths of <= k edges, so a
+        # k-round unrolled SQL relaxation is the exact oracle);
+        # deterministic edge weight (src % 7) + 1 on the deduped graph
+        from neo4j_graph_algorithms_spark.graph import Graph
+        from neo4j_graph_algorithms_spark.operators.shortest_path import (
+            INF,
+            shortest_paths,
+        )
+
+        edges = (
+            _doc_link_rows(spark, sf).select("src", "dst").distinct()
+            .withColumn("weight", (F.pmod("src", F.lit(7)) + 1).cast("double"))
+        )
+        nodes = _read(spark, sf, "documents").select(F.col("doc_id").alias("id"))
+        g = Graph.from_edges(edges, nodes=nodes, weight="weight")
+        dist, _ = shortest_paths(g, source=0, max_iterations=12)
+        return dist.filter(F.col("distance") < INF).select(
+            "id", F.round("distance", ROUND).alias("distance")
+        )
+
+    def q_apsp_hops4(spark, sf):
+        # depth-4-bounded unweighted all-pairs over the doc graph — the
+        # MS-BFS engine's oracle row (depth >= 1 pairs only, like the
+        # reference stream)
+        from neo4j_graph_algorithms_spark.operators.msbfs import all_shortest_paths
+
+        g = _doc_graph(spark, sf)
+        return all_shortest_paths(g, direction="out", max_depth=4)
+
     def q_events_hourly(spark, sf):
         ev = _read(spark, sf, "events")
         return ev.groupBy(
@@ -474,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "sssp_hops12": q_sssp_hops12,
+        "apsp_hops4": q_apsp_hops4,
         "events_hourly": q_events_hourly,
     }
 
@@ -483,7 +582,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "link_edges": (
             edges_cte
-            + "\nSELECT src, dst, content_sha256 FROM raw_links ORDER BY src, dst"
+            + "\nSELECT src, dst, content_sha256 FROM resolved ORDER BY src, dst"
         ),
         "out_degree": (
             edges_cte
@@ -554,6 +653,8 @@ inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n
 j AS (SELECT id_a, id_b, n * 1.0 / (sa.sz + sb.sz - n) AS jac
       FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
 SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM j WHERE jac >= 0.85""",
+        "sssp_hops12": _sql_sssp_unrolled(12),
+        "apsp_hops4": _sql_apsp_unrolled(4),
         "events_hourly": f"""
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events, ROUND(sum(value), {ROUND}) AS sum_value

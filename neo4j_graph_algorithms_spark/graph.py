@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SRC, DST, WEIGHT = "src", "dst", "weight"
@@ -126,6 +126,25 @@ def orient(edges: DataFrame, by_degree: DataFrame | None = None) -> DataFrame:
     )
 
 
+def sort_adjacency(
+    edges: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Standalone `withSort(true)` analogue (ref `GraphLoader.java:131-134`,
+    `AdjacencyMatrix.sortAll:307-321`; Huge always sorts,
+    `HugeGraphImpl.java:51`): co-locate each source's adjacency in one
+    partition and sort it by (src, dst).
+
+    What the sort buys on Spark is what it buys the reference: binary-
+    search `exists` probes and merge-intersections become possible on
+    the materialized layout (parquet written from this frame also
+    delta-encodes dst runs better — the Huge back-end's vlong/delta
+    trick for free), and a CSR build (`plans/partitioning.py`) can scan
+    each group contiguously without re-sorting.
+    """
+    n = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
+    return edges.repartition(n, SRC).sortWithinPartitions(SRC, DST)
+
+
 def degrees(edges: DataFrame, direction: str = "out") -> DataFrame:
     """(id, degree) — ref `api/Degrees.java`, O(1) array read in Java,
     a cached pre-aggregation here (broadcastable when small)."""
@@ -154,18 +173,21 @@ def densify_ids(
     map is the same DataFrame read the other way (the Java `long[]
     graphIds` array).
 
-    Scale note: `row_number` over a global order is a single-partition
-    window — fine for id spaces that fit one executor's scan, replaced by
-    `zipWithIndex`-style per-partition offsets for 10^12-row id spaces
-    (see `sources/link_extract.py` which hashes instead of ranking).
+    Scale note: the rank is a *distributed two-level scan*
+    (`plans/partitioning.distributed_rank`): range-bucketed parallel
+    windows + broadcast bucket bases — never a single global window, so
+    the mapping build has no one-reducer bottleneck at 10^12 ids. (The
+    hot ingest path in `sources/link_extract.py` skips ranking entirely
+    and hashes.)
     """
+    from .plans.partitioning import distributed_rank
+
     ids = edges.select(F.col(SRC).alias(id_col)).unionByName(edges.select(F.col(DST).alias(id_col)))
     if nodes is not None:
         ids = ids.unionByName(nodes.select(F.col(id_col)))
     distinct = ids.distinct()
-    w = Window.orderBy(F.col(id_col))
-    mapping = distinct.select(
-        F.col(id_col).alias("orig_id"), (F.row_number().over(w) - 1).alias("id")
+    mapping = distributed_rank(distinct, id_col).select(
+        F.col(id_col).alias("orig_id"), F.col("_rank").alias("id")
     )
     m_src = mapping.select(F.col("orig_id").alias(SRC), F.col("id").alias("_nsrc"))
     m_dst = mapping.select(F.col("orig_id").alias(DST), F.col("id").alias("_ndst"))

@@ -1,28 +1,34 @@
-"""Betweenness centrality — `algo.betweenness` (+ `.sampled` RA-Brandes).
+"""Betweenness centrality — `algo.betweenness` (+ `.sampled` RA-Brandes,
++ depth-limited).
 
 Reference: Brandes' algorithm, unweighted BFS DAG + dependency
 accumulation (`impl/betweenness/BetweennessCentrality.java:20-40`,
 parallel per-source `ParallelBetweennessCentrality.java`, sampled
-`RABrandesBetweennessCentrality.java` with random / degree-biased
-source selection `RandomSelectionStrategy.java`,
-`RandomDegreeSelectionStrategy.java`). Fixture
+`RABrandesBetweennessCentrality.java:177` — scale f = n/|selected| —
+with source selection strategies `RandomSelectionStrategy.java`
+(uniform) and `RandomDegreeSelectionStrategy.java:59-63` (select node
+with probability degree/maxDegree), depth-limited
+`MaxDepthBetweennessCentrality.java:125-145` — nodes beyond maxDepth
+are never expanded nor back-propagated). Fixture
 `tests/.../impl/BetweennessCentralityTest.java:57-66,159-163`:
 directed path a→b→c→d→e → centrality [0, 3, 4, 3, 0].
 
-Spark rebuild — batched Brandes, all sources advance together:
+Spark rebuild — batched Brandes in BOUNDED WAVES:
 
-- forward phase: frontier keyed (source, node) carrying σ (shortest-path
-  counts); per depth one `edges ⨝ frontier` + `groupBy(source, dst)
-  .sum(σ)`, visited tracked per (source, node) with the settled depth.
-- backward phase: depths descending; δ(v) += σ(v)/σ(w)·(1+δ(w)) pulled
-  from depth-(d+1) successors — one join + agg per depth.
-- `sample` < 1.0 runs RA-Brandes: a seeded Bernoulli sample of sources,
-  scores scaled by n/|sample| (the reference's estimator).
-
-The per-(source, node) state is O(V·S) rows for S sources in flight —
-the same memory shape as the reference's per-thread double[] arrays,
-but sharded across the cluster. For large graphs callers bound S via
-sampling (exactly why the reference ships RA-Brandes).
+- sources are hashed into waves of ≤ `wave_size`; each wave runs the
+  full forward+backward Brandes with all its sources advancing together,
+  then folds its per-node dependency sums into a running accumulator.
+  Peak state is O(V·wave_size) rows — the knob that keeps the per-pair
+  frontier from becoming O(V²) at scale — while each wave still
+  amortizes every depth step over `wave_size` sources in one join.
+- forward phase (per wave): frontier keyed (source, node) carrying σ
+  (shortest-path counts); per depth one `edges ⨝ frontier` +
+  `groupBy(source, dst).sum(σ)`.
+- backward phase: depths descending; δ(v) += σv/σw·(1+δw) pulled from
+  depth-(d+1) successors — one join + agg per depth.
+- `sample` < 1.0 runs RA-Brandes (`strategy="random"`: Bernoulli;
+  `strategy="degree"`: P(v) = degree(v)/maxDegree, the reference's
+  hub-biased selector); scores scale by n/|selected|.
 """
 
 from __future__ import annotations
@@ -32,17 +38,150 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..graph import Graph
-from ..plans.checkpointing import adaptive_disabled
+from ..graph import Graph, degrees
+from ..plans.checkpointing import adaptive_disabled, check_termination
+
+
+def _select_sources(
+    graph: Graph,
+    direction: str,
+    sample: float | None,
+    strategy: str,
+    seed: int,
+) -> tuple[DataFrame, float, int]:
+    """(sources, scale, n_sources) per the reference's strategies."""
+    n = graph.node_count()
+    nodes = graph.nodes.select("id")
+    if sample is None and strategy != "degree":
+        return nodes, 1.0, n
+    if strategy == "degree":
+        # ref RandomDegreeSelectionStrategy.java:59-63 — P = deg/maxDeg,
+        # optionally damped by `sample` as a multiplier
+        deg = degrees(graph.edges, direction if direction in ("out", "in") else "both")
+        mx = deg.agg(F.max("degree")).collect()[0][0] or 1
+        mult = 1.0 if sample is None else float(sample)
+        picked = (
+            nodes.join(deg, "id", "left")
+            .select("id", F.coalesce("degree", F.lit(0)).alias("degree"))
+            .withColumn("_r", F.rand(seed))
+            .filter(F.col("_r") <= F.lit(mult) * F.col("degree") / F.lit(float(mx)))
+            .select("id")
+        )
+    elif strategy == "random":
+        picked = nodes.sample(fraction=float(sample), seed=seed)
+    else:
+        raise ValueError(f"unknown selection strategy: {strategy!r}")
+    picked = picked.localCheckpoint(eager=True)
+    n_sel = picked.count()
+    # ref RABrandesBetweennessCentrality.java:177: f = nodeCount/|selected|
+    return picked, n / max(n_sel, 1), n_sel
+
+
+def _brandes_wave(
+    spark,
+    edges: DataFrame,
+    rev: DataFrame,
+    wave_sources: DataFrame,
+    max_depth: int | None,
+    termination=None,
+) -> tuple[DataFrame, int]:
+    """One wave of batched Brandes → (contrib(node, dep), max depth).
+
+    contrib holds Σ_sources δ(v) for this wave's sources (source≠node
+    rows only). All frames are localCheckpoint-truncated per depth.
+    """
+    frontier = wave_sources.select(
+        F.col("id").alias("source"), F.col("id").alias("node"),
+        F.lit(0).alias("depth"), F.lit(1.0).alias("sigma"),
+    )
+    settled = frontier.localCheckpoint(eager=True)
+    frontier = settled
+    depth = 0
+    while True:
+        check_termination(spark, termination)
+        if max_depth is not None and depth >= max_depth:
+            # ref MaxDepthBetweennessCentrality.java:128: nodes beyond
+            # maxDepth are neither expanded nor back-propagated
+            break
+        depth += 1
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .groupBy("source", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(settled.select("source", "node"), ["source", "node"], "left_anti")
+            .withColumn("depth", F.lit(depth))
+            .select("source", "node", "depth", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            depth -= 1
+            break
+        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+
+    # backward accumulation, depths descending
+    delta = settled.select("source", "node", F.lit(0.0).alias("delta"))
+    delta = delta.localCheckpoint(eager=True)
+    for d in range(depth, 0, -1):
+        check_termination(spark, termination)
+        succ = (
+            settled.filter(F.col("depth") == d)
+            .join(delta, ["source", "node"])
+            .select("source", "node", "sigma", "delta")
+        )
+        # pull: for each predecessor edge (v -> w), v gains
+        # σv/σw · (1 + δw); join via reversed edges
+        contrib = (
+            rev.join(
+                succ.select(
+                    "source", F.col("node").alias("src"),
+                    F.col("sigma").alias("s_w"), F.col("delta").alias("d_w"),
+                ),
+                "src",
+            )
+            .select("source", F.col("dst").alias("node"), "s_w", "d_w")
+            .join(
+                settled.filter(F.col("depth") == d - 1).select(
+                    "source", "node", F.col("sigma").alias("s_v")
+                ),
+                ["source", "node"],
+            )
+            .groupBy("source", "node")
+            .agg(F.sum(F.col("s_v") / F.col("s_w") * (1.0 + F.col("d_w"))).alias("add"))
+        )
+        delta = (
+            delta.join(contrib, ["source", "node"], "left")
+            .select(
+                "source", "node",
+                (F.col("delta") + F.coalesce(F.col("add"), F.lit(0.0))).alias("delta"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wave_contrib = (
+        delta.filter(F.col("source") != F.col("node"))
+        .groupBy("node")
+        .agg(F.sum("delta").alias("dep"))
+    )
+    return wave_contrib, depth
 
 
 def betweenness(
     graph: Graph,
     direction: str = "out",
     sample: float | None = None,
+    strategy: str = "random",
     seed: int = 42,
+    max_depth: int | None = None,
+    wave_size: int = 1024,
+    termination=None,
 ) -> tuple[DataFrame, dict]:
-    """Returns (centrality(id, centrality), stats)."""
+    """Returns (centrality(id, centrality), stats).
+
+    ``wave_size`` bounds the number of sources simultaneously in flight:
+    peak state O(V·wave_size) instead of O(V·S). ``max_depth`` truncates
+    each BFS DAG (depth-limited betweenness). ``sample``/``strategy``
+    select RA-Brandes source sampling.
+    """
     spark = graph.edges.sparkSession
     t0 = time.time()
     n_parts = spark.sparkContext.defaultParallelism
@@ -56,90 +195,40 @@ def betweenness(
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
 
     n = graph.node_count()
-    sources = graph.nodes.select("id")
-    scale = 1.0
-    if sample is not None and sample < 1.0:
-        sources = sources.sample(fraction=sample, seed=seed)
-        n_sampled = sources.count()
-        scale = n / max(n_sampled, 1)
+    sources, scale, n_sources = _select_sources(graph, direction, sample, strategy, seed)
+    n_waves = max(1, -(-n_sources // wave_size))
+    if n_waves > 1:
+        sources = sources.withColumn("_wave", F.pmod(F.xxhash64("id"), F.lit(n_waves)))
 
-    # forward BFS: settled(source, node, depth, sigma)
-    frontier = sources.select(
-        F.col("id").alias("source"), F.col("id").alias("node"),
-        F.lit(0).alias("depth"), F.lit(1.0).alias("sigma"),
-    )
-    settled = frontier
-    depth = 0
+    acc: DataFrame | None = None
+    deepest = 0
     with adaptive_disabled(spark):
-        settled = settled.localCheckpoint(eager=True)
-        frontier = settled
-        while True:
-            depth += 1
-            nxt = (
-                edges.join(frontier.withColumnRenamed("node", "src"), "src")
-                .groupBy("source", F.col("dst").alias("node"))
-                .agg(F.sum("sigma").alias("sigma"))
-                .join(settled.select("source", "node"), ["source", "node"], "left_anti")
-                .withColumn("depth", F.lit(depth))
-                .select("source", "node", "depth", "sigma")
-                .localCheckpoint(eager=True)
+        for w in range(n_waves):
+            wave_src = (
+                sources.filter(F.col("_wave") == w).select("id")
+                if n_waves > 1 else sources.select("id")
             )
-            if nxt.isEmpty():
-                break
-            settled = settled.unionByName(nxt).localCheckpoint(eager=True)
-            frontier = nxt
-        max_depth = depth - 1
-
-        # backward accumulation, depths descending
-        delta = settled.select("source", "node", F.lit(0.0).alias("delta"))
-        delta = delta.localCheckpoint(eager=True)
-        for d in range(max_depth, 0, -1):
-            succ = (
-                settled.filter(F.col("depth") == d)
-                .join(delta, ["source", "node"])
-                .select("source", "node", "sigma", "delta")
-            )
-            # pull: for each predecessor edge (v -> w), v gains
-            # σv/σw · (1 + δw); join via reversed edges
-            contrib = (
-                rev.join(
-                    succ.select(
-                        "source", F.col("node").alias("src"),
-                        F.col("sigma").alias("s_w"), F.col("delta").alias("d_w"),
-                    ),
-                    "src",
+            wave_contrib, d = _brandes_wave(spark, edges, rev, wave_src, max_depth, termination)
+            deepest = max(deepest, d)
+            if acc is None:
+                acc = wave_contrib.localCheckpoint(eager=True)
+            else:
+                acc = (
+                    acc.unionByName(wave_contrib)
+                    .groupBy("node")
+                    .agg(F.sum("dep").alias("dep"))
+                    .localCheckpoint(eager=True)
                 )
-                .select("source", F.col("dst").alias("node"), "s_w", "d_w")
-                .join(
-                    settled.filter(F.col("depth") == d - 1).select(
-                        "source", "node", F.col("sigma").alias("s_v")
-                    ),
-                    ["source", "node"],
-                )
-                .groupBy("source", "node")
-                .agg(F.sum(F.col("s_v") / F.col("s_w") * (1.0 + F.col("d_w"))).alias("add"))
-            )
-            delta = (
-                delta.join(contrib, ["source", "node"], "left")
-                .select(
-                    "source", "node",
-                    (F.col("delta") + F.coalesce(F.col("add"), F.lit(0.0))).alias("delta"),
-                )
-                .localCheckpoint(eager=True)
-            )
-    # centrality = Σ over sources of δ, excluding the source itself
-    result = (
-        delta.filter(F.col("source") != F.col("node"))
-        .groupBy(F.col("node").alias("id"))
-        .agg((F.sum("delta") * F.lit(scale)).alias("centrality"))
-    )
-    result = graph.nodes.select("id").join(result, "id", "left").select(
-        "id", F.coalesce("centrality", F.lit(0.0)).alias("centrality")
-    )
+    result = acc.select("node", (F.col("dep") * F.lit(scale)).alias("centrality"))
+    result = graph.nodes.select("id").join(
+        result.withColumnRenamed("node", "id"), "id", "left"
+    ).select("id", F.coalesce("centrality", F.lit(0.0)).alias("centrality"))
     edges.unpersist()
     stats = {
         "nodes": n,
-        "maxDepth": max_depth,
+        "sources": n_sources,
+        "waves": n_waves,
+        "maxDepth": deepest,
         "scaleFactor": scale,
         "computeMillis": int((time.time() - t0) * 1000),
     }

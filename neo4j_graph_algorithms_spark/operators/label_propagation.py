@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpointing import IterationCache, adaptive_disabled
+from ..plans.checkpointing import IterationCache, adaptive_disabled, check_termination
 
 
 def label_propagation(
@@ -48,6 +48,7 @@ def label_propagation(
     node_weight_col: str | None = "weight",
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    termination=None,
 ) -> tuple[DataFrame, dict]:
     """Returns (labels(id, label), stats with ranIterations/didConverge)."""
     spark = graph.edges.sparkSession
@@ -123,6 +124,7 @@ def label_propagation(
 
     with adaptive_disabled(spark):
         for it in range(1, iterations + 1):
+            check_termination(spark, termination, it)
             stepped = cache.step(half_step(half_step(labels, 0), 1), it)
             changed = (
                 stepped.join(labels.withColumnRenamed("label", "prev"), "id")

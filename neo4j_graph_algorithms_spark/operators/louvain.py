@@ -27,12 +27,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..graph import Graph, undirect
-from ..plans.checkpointing import adaptive_disabled
+from ..plans.checkpointing import adaptive_disabled, check_termination
 
 
 def louvain(
     graph: Graph,
     iterations: int = 10,
+    termination=None,
 ) -> tuple[DataFrame, dict]:
     """Returns (communities(id, community), stats with ranIterations)."""
     spark = graph.edges.sparkSession
@@ -95,6 +96,7 @@ def louvain(
     with adaptive_disabled(spark):
         comm = comm.localCheckpoint(eager=True)
         for it in range(1, iterations + 1):
+            check_termination(spark, termination, it)
             stepped = half_round(half_round(comm, 0), 1).localCheckpoint(eager=True)
             changed = (
                 stepped.join(comm.withColumnRenamed("community", "prev"), "id")

@@ -28,11 +28,42 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph, undirect
-from ..plans.checkpointing import adaptive_disabled
+from ..plans.checkpointing import adaptive_disabled, check_termination
+
+
+def _number_sources(src_nodes: DataFrame) -> DataFrame:
+    """(id, batch, bit): assign each source a 64-wide batch slot.
+
+    Dense fast path: when the id range is at most 2× the source count
+    (dense or nearly-dense ids — the normal case after `densify_ids` or
+    `spark.range`), batch/bit derive ARITHMETICALLY from the id
+    (`batch = (id-min) div 64`, `bit = (id-min) mod 64`) — a pure
+    projection, no shuffle at all. Sparse ids fall back to the
+    distributed two-level rank scan (`plans/partitioning.
+    distributed_rank`) — parallel bucket windows + broadcast bases,
+    never a global single-partition window.
+    """
+    stats = src_nodes.agg(
+        F.min("id").alias("mn"), F.max("id").alias("mx"), F.count("*").alias("n")
+    ).collect()[0]
+    n = stats["n"] or 0
+    if n and (stats["mx"] - stats["mn"] + 1) <= 2 * n:
+        base = int(stats["mn"])
+        off = F.col("id") - F.lit(base)
+        return src_nodes.select(
+            "id", F.floor(off / 64).alias("batch"), F.pmod(off, F.lit(64)).alias("bit")
+        )
+    from ..plans.partitioning import distributed_rank
+
+    return distributed_rank(src_nodes.select("id"), "id").select(
+        "id",
+        F.floor(F.col("_rank") / 64).alias("batch"),
+        F.pmod(F.col("_rank"), F.lit(64)).alias("bit"),
+    )
 
 
 def _sym_edges(graph: Graph, direction: str) -> DataFrame:
@@ -48,6 +79,7 @@ def ms_bfs_depths(
     direction: str = "both",
     sources: DataFrame | None = None,
     max_depth: int | None = None,
+    termination=None,
 ) -> DataFrame:
     """Run MS-BFS from every source (default: all nodes).
 
@@ -63,15 +95,8 @@ def ms_bfs_depths(
     edges.count()
 
     src_nodes = sources if sources is not None else graph.nodes.select("id")
-    # batch id + bit position per source: 64 sources per batch (the
-    # global row_number is over the SOURCE list — fine for fixture-scale
-    # source sets; at 10^12 nodes sources come pre-batched by range)
-    rn = F.row_number().over(Window.orderBy("id")) - 1
-    numbered = src_nodes.select(
-        "id",
-        F.floor(rn / 64).alias("batch"),
-        (rn % 64).alias("bit"),
-    )
+    # batch id + bit position per source: 64 sources per batch
+    numbered = _number_sources(src_nodes)
     frontier = numbered.select(
         "batch", F.col("id").alias("node"),
         F.expr("shiftleft(1L, cast(bit as int))").alias("mask"),
@@ -85,6 +110,7 @@ def ms_bfs_depths(
         frontier = frontier.localCheckpoint(eager=True)
         visited = visited.localCheckpoint(eager=True)
         while True:
+            check_termination(spark, termination, depth)
             depth += 1
             if max_depth is not None and depth > max_depth:
                 break
@@ -165,7 +191,8 @@ def harmonic(graph: Graph, direction: str = "both") -> tuple[DataFrame, dict]:
 
 
 def all_shortest_paths(
-    graph: Graph, direction: str = "out", max_depth: int | None = None
+    graph: Graph, direction: str = "out", max_depth: int | None = None,
+    termination=None,
 ) -> DataFrame:
     """Unweighted all-pairs (source, target, depth) rows — the
     `algo.allShortestPaths.stream` MS-BFS variant
@@ -179,14 +206,8 @@ def all_shortest_paths(
     no Python row loop).
     """
     spark = graph.edges.sparkSession
-    from pyspark.sql import Window
-
     src_nodes = graph.nodes.select("id")
-    numbered = src_nodes.select(
-        "id",
-        F.floor((F.row_number().over(Window.orderBy("id")) - 1) / 64).alias("batch"),
-        ((F.row_number().over(Window.orderBy("id")) - 1) % 64).alias("bit"),
-    ).persist()
+    numbered = _number_sources(src_nodes).persist()
 
     edges = _sym_edges(graph, direction)
     n_parts = spark.sparkContext.defaultParallelism
@@ -205,6 +226,7 @@ def all_shortest_paths(
         frontier = frontier.localCheckpoint(eager=True)
         visited = visited.localCheckpoint(eager=True)
         while True:
+            check_termination(spark, termination, depth)
             depth += 1
             if max_depth is not None and depth > max_depth:
                 break

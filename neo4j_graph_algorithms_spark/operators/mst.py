@@ -24,13 +24,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpointing import adaptive_disabled
+from ..plans.checkpointing import adaptive_disabled, check_termination
 
 
 def mst(
     graph: Graph,
     start_node: int | None = None,
     max_rounds: int = 64,
+    termination=None,
 ) -> tuple[DataFrame, dict]:
     """Returns (tree_edges(src, dst, weight), stats with
     sum/min/max weight) — the reference's result surface."""
@@ -61,6 +62,7 @@ def mst(
     with adaptive_disabled(spark):
         comp = comp.localCheckpoint(eager=True)
         for _ in range(max_rounds):
+            check_termination(spark, termination, rounds)
             rounds += 1
             cs = comp.select(F.col("id").alias("src"), F.col("component").alias("c_src"))
             cd = comp.select(F.col("id").alias("dst"), F.col("component").alias("c_dst"))
@@ -120,18 +122,35 @@ def mst(
         tree = spark.createDataFrame([], "src long, dst long, weight double")
     else:
         tree = chosen
-    if start_node is not None and chosen is not None:
-        comp_of_start = comp.filter(F.col("id") == start_node).collect()
+    n_components = 1
+    if start_node is not None:
+        # ref MSTPrim semantics: the tree of the start node's component
+        # ONLY. `comp` holds edge endpoints, so a start node with no
+        # edges is absent from it — its "tree" is empty (never the
+        # whole forest).
+        comp_of_start = comp.filter(F.col("id") == start_node).collect() if chosen is not None else []
         if comp_of_start:
             c = comp_of_start[0]["component"]
             member = comp.filter(F.col("component") == c).select(F.col("id").alias("src"))
             tree = tree.join(member, "src", "left_semi")
+        else:
+            tree = spark.createDataFrame([], "src long, dst long, weight double")
+            n_components = 0
+    elif chosen is not None:
+        # unfiltered forest: one tree per component of the input
+        n_components = comp.select("component").distinct().count()
+    else:
+        n_components = 0
     agg = tree.agg(
         F.sum("weight").alias("s"), F.min("weight").alias("mn"),
         F.max("weight").alias("mx"), F.count("*").alias("n"),
     ).collect()[0]
     stats = {
-        "effectiveNodeCount": (agg["n"] or 0) + 1,
+        # tree edges + one root per covered component (n+1 only holds
+        # for a single-component tree); isolated start node => 1
+        "effectiveNodeCount": (agg["n"] or 0) + n_components
+        if not (start_node is not None and n_components == 0)
+        else 1,
         "weightSum": float(agg["s"] or 0.0),
         "weightMin": float(agg["mn"] or 0.0),
         "weightMax": float(agg["mx"] or 0.0),

@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpointing import IterationCache, adaptive_disabled
+from ..plans.checkpointing import IterationCache, adaptive_disabled, check_termination
 
 
 def _messages_dataframe(edges_inv: DataFrame, active: DataFrame, damping: float) -> DataFrame:
@@ -129,6 +129,7 @@ def pagerank(
     resume: bool = False,
     num_partitions: int | None = None,
     fuse: int = 5,
+    termination=None,
 ) -> tuple[DataFrame, dict]:
     """Run PageRank; returns (ranks(id, rank), stats).
 
@@ -160,10 +161,17 @@ def pagerank(
     # bound join probe moves a third fewer bytes per superstep.
     # inv_deg and messages stay float64: a float32 reciprocal costs
     # ~3e-8 per hop (measured) — too close to the 1e-6 parity bar.
-    max_id = graph.edges.agg(
-        F.max(F.greatest("src", "dst")).alias("m")
-    ).collect()[0]["m"] or 0
-    id_t = "int" if max_id < (1 << 31) - 1 else "long"
+    # both bounds matter: the documented ingest path assigns full-range
+    # xxhash64 ids, ~half of them negative — a graph whose max fits int32
+    # but whose min is below INT_MIN must stay long, or the cast fails
+    # under ANSI mode (or silently wraps ids without it).
+    bounds = graph.edges.agg(
+        F.max(F.greatest("src", "dst")).alias("mx"),
+        F.min(F.least("src", "dst")).alias("mn"),
+    ).collect()[0]
+    max_id = bounds["mx"] or 0
+    min_id = bounds["mn"] or 0
+    id_t = "int" if (max_id < (1 << 31) - 1 and min_id >= -(1 << 31)) else "long"
 
     out_deg = graph.out_degrees().select(
         F.col("id").cast(id_t).alias("src"), F.col("degree")
@@ -257,6 +265,7 @@ def pagerank(
 
     with adaptive_disabled(spark):
         for it in range(start_step, max_iterations + 1):
+            check_termination(spark, termination, it)
             t_it = time.time()
             # persist() (not localCheckpoint) keeps the hash(dst) output
             # partitioning visible to Catalyst, so the next superstep's

@@ -36,10 +36,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpointing import adaptive_disabled
+from ..plans.checkpointing import adaptive_disabled, check_termination
 
 
-def scc(graph: Graph, max_outer: int = 64) -> tuple[DataFrame, dict]:
+def scc(
+    graph: Graph, max_outer: int | None = None, termination=None
+) -> tuple[DataFrame, dict]:
+    """MultiStep-shaped SCC; returns (assignments(id, component), stats).
+
+    Termination: every outer round assigns at least one SCC (the color
+    root of the maximal color class always discovers its own SCC), so
+    the loop converges in at most `condensation-chain-depth` rounds —
+    unbounded by default. An explicit ``max_outer`` cap RAISES if nodes
+    remain unassigned when it is hit (never silent row loss);
+    ``didConverge`` is surfaced in stats either way.
+    """
     spark = graph.edges.sparkSession
     t0 = time.time()
     n_parts = spark.sparkContext.defaultParallelism
@@ -58,11 +69,14 @@ def scc(graph: Graph, max_outer: int = 64) -> tuple[DataFrame, dict]:
         assigned = df if assigned is None else assigned.unionByName(df)
         assigned = assigned.localCheckpoint(eager=True)
 
+    converged = False
     with adaptive_disabled(spark):
         active = active.localCheckpoint(eager=True)
-        while outer < max_outer:
+        while max_outer is None or outer < max_outer:
+            check_termination(spark, termination, outer)
             outer += 1
             if active.isEmpty():
+                converged = True
                 break
             # edges restricted to the active set
             sub = (
@@ -88,6 +102,7 @@ def scc(graph: Graph, max_outer: int = 64) -> tuple[DataFrame, dict]:
                     .localCheckpoint(eager=True)
                 )
             if active.isEmpty():
+                converged = True
                 break
             # 2. color: forward max-id propagation to fixpoint
             color = active.select("id", F.col("id").alias("color")).localCheckpoint(eager=True)
@@ -133,12 +148,22 @@ def scc(graph: Graph, max_outer: int = 64) -> tuple[DataFrame, dict]:
             assign(reached.join(mins, "color").select("id", "component"))
             active = active.join(reached.select("id"), "id", "left_anti").localCheckpoint(eager=True)
 
+    if not converged:
+        converged = active.isEmpty()
     edges_all.unpersist()
+    if not converged:
+        n_left = active.count()
+        raise RuntimeError(
+            f"scc: max_outer={max_outer} outer rounds exhausted with "
+            f"{n_left} nodes unassigned (didConverge=False) — raise the "
+            "cap (a chain-shaped SCC condensation needs one round per link)"
+        )
     result = assigned if assigned is not None else graph.nodes.select(
         "id", F.col("id").alias("component")
     )
     stats = {
         "outerRounds": outer,
+        "didConverge": converged,
         "computeMillis": int((time.time() - t0) * 1000),
     }
     return result, stats

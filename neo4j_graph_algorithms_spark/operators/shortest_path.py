@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpointing import adaptive_disabled
+from ..plans.checkpointing import adaptive_disabled, check_termination
 
 INF = float("inf")
 
@@ -53,6 +53,7 @@ def shortest_paths(
     direction: str = "out",
     max_iterations: int = 10_000,
     with_predecessor: bool = False,
+    termination=None,
 ) -> tuple[DataFrame, dict]:
     """Single-source distances: (id, distance[, pred]); unreachable
     nodes carry +inf (ref streams Infinity for them)."""
@@ -74,6 +75,7 @@ def shortest_paths(
         dist = dist.localCheckpoint(eager=True)
         frontier = frontier.localCheckpoint(eager=True)
         for it in range(1, max_iterations + 1):
+            check_termination(spark, termination, it)
             cand = (
                 edges.join(
                     frontier.select(F.col("id").alias("src"), F.col("distance").alias("ds")),
@@ -115,6 +117,7 @@ def delta_stepping(
     source: int,
     delta: float,
     direction: str = "out",
+    termination=None,
 ) -> tuple[DataFrame, dict]:
     """Bucketed SSSP (ref `impl/ShortestPathDeltaStepping.java:22-45`).
 
@@ -124,6 +127,8 @@ def delta_stepping(
     power-law graph this is the reference's work-efficiency trick,
     rebuilt with the identical join/agg shape as `shortest_paths`.
     """
+    if delta <= 0:
+        raise ValueError(f"delta must be > 0, got {delta}")
     spark = graph.edges.sparkSession
     t0 = time.time()
     edges = _prep_edges(graph, direction)
@@ -154,6 +159,7 @@ def delta_stepping(
         dist = dist.localCheckpoint(eager=True)
         bucket = 0
         while True:
+            check_termination(spark, termination, bucket)
             lo, hi = bucket * delta, (bucket + 1) * delta
             band = dist.filter((F.col("distance") >= lo) & (F.col("distance") < hi))
             band = band.localCheckpoint(eager=True)
@@ -189,6 +195,92 @@ def delta_stepping(
         df.unpersist()
     stats = {"relaxRounds": rounds, "computeMillis": int((time.time() - t0) * 1000)}
     return dist, stats
+
+
+def all_shortest_paths_weighted(
+    graph: Graph,
+    direction: str = "out",
+    wave_size: int = 64,
+    max_iterations: int = 10_000,
+    termination=None,
+) -> DataFrame:
+    """Weighted all-pairs shortest paths — the `algo.allShortestPaths
+    .stream` variant the reference runs as multi-source parallel
+    Dijkstra (`impl/AllShortestPaths.java:22-46`; fixture
+    `tests/.../impl/AllShortestPathsTest.java`: 2×5 unit-weight grid →
+    45 finite (source,target) pairs, d(0,9)=5, d(s,s)=0).
+
+    Returns (source, target, distance) rows for every REACHABLE pair,
+    self-pairs at distance 0 included; unreachable pairs are simply
+    absent (the reference's stream skips infinite rows the same way).
+
+    Spark shape: sources are hashed into waves of ≤ `wave_size`; each
+    wave advances a (source, node, distance) state by frontier
+    relaxation — `edges ⨝ frontier` + `groupBy(source, dst).min` per
+    round — so peak state is O(V·wave_size) rows, never O(V²); the
+    O(V²) output accumulates once per wave, localCheckpoint-truncated.
+    Unweighted all-pairs stays on the cheaper bitmask MS-BFS engine
+    (`operators/msbfs.all_shortest_paths`).
+    """
+    spark = graph.edges.sparkSession
+    edges = _prep_edges(graph, direction)
+    n_parts = spark.sparkContext.defaultParallelism
+    edges = edges.repartition(n_parts, "src").persist()
+    edges.count()
+
+    nodes = graph.nodes.select("id")
+    n_sources = nodes.count()
+    n_waves = max(1, -(-n_sources // wave_size))
+    if n_waves > 1:
+        nodes = nodes.withColumn("_wave", F.pmod(F.xxhash64("id"), F.lit(n_waves)))
+
+    results: DataFrame | None = None
+    with adaptive_disabled(spark):
+        for wv in range(n_waves):
+            wave_src = (
+                nodes.filter(F.col("_wave") == wv).select("id")
+                if n_waves > 1 else nodes
+            )
+            dist = wave_src.select(
+                F.col("id").alias("source"), F.col("id").alias("node"),
+                F.lit(0.0).alias("distance"),
+            ).localCheckpoint(eager=True)
+            frontier = dist
+            for it in range(max_iterations):
+                check_termination(spark, termination, it)
+                cand = (
+                    edges.join(
+                        frontier.select(
+                            "source", F.col("node").alias("src"),
+                            F.col("distance").alias("ds"),
+                        ),
+                        "src",
+                    )
+                    .groupBy("source", F.col("dst").alias("node"))
+                    .agg(F.min(F.col("ds") + F.col("weight")).alias("nd"))
+                )
+                merged = dist.join(cand, ["source", "node"], "full").select(
+                    "source", "node",
+                    F.least(
+                        F.coalesce(F.col("distance"), F.lit(INF)),
+                        F.coalesce(F.col("nd"), F.lit(INF)),
+                    ).alias("distance"),
+                    (
+                        F.coalesce(F.col("nd"), F.lit(INF))
+                        < F.coalesce(F.col("distance"), F.lit(INF))
+                    ).alias("_imp"),
+                ).localCheckpoint(eager=True)
+                frontier = merged.filter(F.col("_imp")).select("source", "node", "distance")
+                dist = merged.select("source", "node", "distance")
+                if frontier.isEmpty():
+                    break
+            rows = dist.select("source", F.col("node").alias("target"), "distance")
+            results = rows if results is None else results.unionByName(rows)
+            results = results.localCheckpoint(eager=True)
+    edges.unpersist()
+    if results is None:
+        return spark.createDataFrame([], "source long, target long, distance double")
+    return results
 
 
 def shortest_path(

@@ -11,10 +11,12 @@ replaces probes with sorted-CSR intersection
 The Spark analogue of the ``u < s < t`` pruning is the classic oriented
 wedge-close plan:
 
-1. orient every undirected edge low-id -> high-id (or low-degree ->
-   high-degree with ``by_degree=True`` — the anti-skew variant: hubs
-   get small out-adjacency, bounding the wedge fan-out; same trick,
-   stronger guarantee)
+1. orient every undirected edge low-degree -> high-degree (the default
+   ``by_degree=True`` anti-skew orientation: hubs get small
+   out-adjacency, bounding the wedge fan-out to O(E^1.5) total work on
+   power-law graphs; ``by_degree=False`` keeps the cheaper low-id ->
+   high-id orientation, which skips the degree join but lets a hub's
+   wedge fan-out grow with its degree squared)
 2. wedges = oriented ⨝ oriented on (e1.dst == e2.src) → (a<b<c) paths
 3. close each wedge against the oriented edge set on (a, c)
 
@@ -47,7 +49,7 @@ def _oriented(graph: Graph, by_degree: bool) -> tuple[DataFrame, DataFrame]:
     return ori.select("src", "dst"), deg
 
 
-def triangle_stream(graph: Graph, by_degree: bool = False) -> DataFrame:
+def triangle_stream(graph: Graph, by_degree: bool = True) -> DataFrame:
     """All triangles as (a, b, c) rows, each unordered triple once,
     corners sorted ascending (deterministic; ref TriangleStream emits
     node-id ordered triples from the u<s<t scan)."""
@@ -68,7 +70,7 @@ def triangle_stream(graph: Graph, by_degree: bool = False) -> DataFrame:
 
 
 def triangle_count(
-    graph: Graph, by_degree: bool = False
+    graph: Graph, by_degree: bool = True
 ) -> tuple[DataFrame, dict]:
     """Returns (per_node(id, triangles, coefficient), stats with
     triangleCount / averageClusteringCoefficient) — the combined

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpointing import IterationCache, adaptive_disabled
+from ..plans.checkpointing import IterationCache, adaptive_disabled, check_termination
 
 
 def wcc(
@@ -45,8 +45,16 @@ def wcc(
     max_iterations: int = 100,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    assume_deduped: bool = False,
+    termination=None,
 ) -> tuple[DataFrame, dict]:
-    """Returns (components(id, component), stats)."""
+    """Returns (components(id, component), stats).
+
+    ``assume_deduped=True`` skips the symmetric-edge `distinct()` (a
+    full O(E) shuffle) when the caller guarantees the edge table has no
+    parallel duplicates — min-label propagation is idempotent over
+    duplicates, so dedup is purely a volume optimization anyway.
+    """
     spark = graph.edges.sparkSession
     t0 = time.time()
 
@@ -58,9 +66,10 @@ def wcc(
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .persist()
     )
+    if not assume_deduped:
+        sym = sym.distinct()
+    sym = sym.persist()
     sym.count()
 
     comp = graph.nodes.select("id", F.col("id").alias("component"))
@@ -71,6 +80,7 @@ def wcc(
     converged = False
     with adaptive_disabled(spark):
         for it in range(1, max_iterations + 1):
+            check_termination(spark, termination, it)
             # neighbor-min: every node pulls the smallest component label
             # reachable over one (undirected) hop
             nbr_min = (
@@ -78,10 +88,14 @@ def wcc(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("component").alias("nbr_comp"))
             )
+            # `prev` rides along so convergence is read off the
+            # materialized frame with a cached O(V) scan — no separate
+            # full-join job per round
             stepped = (
                 comp.join(nbr_min, "id", "left")
                 .select(
                     "id",
+                    F.col("component").alias("prev"),
                     F.least(
                         F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
                     ).alias("component"),
@@ -94,16 +108,17 @@ def wcc(
             )
             jumped = (
                 stepped.join(parent, "component", "left")
-                .select("id", F.coalesce(F.col("jump"), F.col("component")).alias("component"))
+                .select(
+                    "id", "prev",
+                    F.coalesce(F.col("jump"), F.col("component")).alias("component"),
+                )
             )
             jumped = cache.step(jumped, it)
-            changed = (
-                jumped.join(comp.withColumnRenamed("component", "prev"), "id")
-                .filter(F.col("component") != F.col("prev"))
-                .count()
-            )
-            cache.history[-1]["changed"] = changed
-            comp = jumped
+            changed = jumped.agg(
+                F.sum((F.col("component") != F.col("prev")).cast("long")).alias("c")
+            ).collect()[0]["c"] or 0
+            cache.history[-1]["changed"] = int(changed)
+            comp = jumped.select("id", "component")
             ran = it
             if changed == 0:
                 converged = True

@@ -57,6 +57,66 @@ def _shingle_col(text_col: str, k: int):
     return F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
 
 
+def _mod_m61(x):
+    """Vectorized ``x mod (2^61 - 1)`` for uint64 ``x`` up to 2^64-1.
+
+    Mersenne fold: 2^61 ≡ 1 (mod M), so x = (x>>61)·2^61 + (x & M)
+    ≡ (x>>61) + (x & M); the fold result is at most M+7, so one
+    conditional subtract finishes the reduction."""
+    import numpy as np
+
+    m = np.uint64(_MERSENNE)
+    r = (x >> np.uint64(61)) + (x & m)
+    return np.where(r >= m, r - m, r)
+
+
+def _mulmod_m61(a, v):
+    """Vectorized ``(a·v) mod (2^61 - 1)`` with a, v < 2^61.
+
+    32-bit split multiply so every partial product fits uint64:
+    a·v = a1·v1·2^64 + (a1·v0 + a0·v1)·2^32 + a0·v0, with
+    2^64 ≡ 8 (mod M); the mid term times 2^32 reduces via
+    mid = h·2^29 + l → mid·2^32 ≡ h + l·2^32 (since 2^61 ≡ 1)."""
+    import numpy as np
+
+    mask32 = np.uint64(0xFFFFFFFF)
+    mask29 = np.uint64((1 << 29) - 1)
+    a1, a0 = a >> np.uint64(32), a & mask32
+    v1, v0 = v >> np.uint64(32), v & mask32
+    t_hi = _mod_m61((a1 * v1) << np.uint64(3))
+    mid = _mod_m61(a1 * v0 + a0 * v1)
+    t_mid = _mod_m61((mid >> np.uint64(29)) + ((mid & mask29) << np.uint64(32)))
+    t_lo = _mod_m61(a0 * v0)
+    return _mod_m61(t_hi + t_mid + t_lo)
+
+
+def _minhash_batch(hash_lists, a, b):
+    """Signatures for one Arrow batch: list-of-arrays of shingle hashes
+    → (n_docs, num_hashes) int64 matrix. Pure batch-level numpy — the
+    only Python loop is over the `num_hashes` permutations, each pass a
+    vectorized sweep over every shingle hash in the batch, followed by a
+    segment-min (`np.minimum.reduceat`) per document."""
+    import numpy as np
+
+    n_docs = len(hash_lists)
+    num_hashes = len(a)
+    lens = np.fromiter((len(h) for h in hash_lists), count=n_docs, dtype=np.int64)
+    sig = np.zeros((n_docs, num_hashes), dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return sig
+    flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hash_lists])
+    v = _mod_m61(flat.view(np.uint64))
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nonempty = lens > 0
+    ne_starts = starts[nonempty]
+    for i in range(num_hashes):
+        hv = _mod_m61(_mulmod_m61(np.uint64(a[i]), v) + np.uint64(b[i]))
+        sig[nonempty, i] = np.minimum.reduceat(hv, ne_starts).astype(np.int64)
+    return sig
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -65,8 +125,9 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, signature: array<long>) — one Arrow batch pass; the inner
-    min over (a·x+b) mod M runs as a numpy broadcast per batch."""
+    """(id, signature: array<long>) — one Arrow batch pass; the min over
+    (a·x+b) mod M runs as batch-level numpy (split-multiply mod-Mersenne
+    on uint64 + segment-min), no per-row or per-shingle Python."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -82,20 +143,8 @@ def minhash_signatures(
         import pandas as pd
 
         for pdf in batches:
-            out_ids, out_sigs = [], []
-            for i, hs in zip(pdf["id"], pdf["hashes"]):
-                x = np.asarray(hs, dtype=np.uint64).astype(np.object_)
-                # python-int matrix mod (object dtype) avoids uint64
-                # overflow of a*x; num_hashes×|shingles| stays small
-                # because min() collapses immediately per hash row
-                sig = [
-                    int(min(((int(ai) * int(v) + int(bi)) % _MERSENNE) for v in x))
-                    if len(x) else 0
-                    for ai, bi in zip(a, b)
-                ]
-                out_ids.append(i)
-                out_sigs.append(sig)
-            yield pd.DataFrame({"id": out_ids, "signature": out_sigs})
+            sig = _minhash_batch(list(pdf["hashes"]), a, b)
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "signature": list(sig)})
 
     return shingled.mapInPandas(sign, "id long, signature array<long>")
 
@@ -224,18 +273,29 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs ≥ threshold (id_a < id_b, jaccard).
 
     Shingle-explode + pair aggregation: |A∩B| from the shingle join,
     |A∪B| = |A|+|B|−|A∩B|. The join key is the shingle, so common
-    shingles fan out — at scale, stop-shingle filtering (drop shingles
-    with document frequency above a cap) bounds the blowup; exposed via
-    `max_shingle_df`."""
+    shingles fan out quadratically — at scale, set ``max_shingle_df`` to
+    drop stop-shingles whose document frequency exceeds the cap BEFORE
+    the self-join (one extra groupBy, bounding the pair blowup to
+    O(df_cap²) per shingle). Jaccard is then computed over the surviving
+    shingle sets on both sides (sizes and intersections consistently
+    exclude the dropped shingles)."""
     shingles = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(_shingle_col(text_col, shingle_k))).alias("sh"),
-    ).persist()
+    )
+    if max_shingle_df is not None:
+        df_counts = shingles.groupBy("sh").agg(F.count("*").alias("_df"))
+        shingles = (
+            shingles.join(df_counts.filter(F.col("_df") <= max_shingle_df), "sh")
+            .select("id", "sh")
+        )
+    shingles = shingles.persist()
     sizes = shingles.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         shingles.alias("a").join(shingles.alias("b"), "sh")

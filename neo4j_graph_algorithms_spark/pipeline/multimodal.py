@@ -27,9 +27,32 @@ buffer.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def arrow_batch_size(spark, rows: int):
+    """Scoped `spark.sql.execution.arrow.maxRecordsPerBatch` override.
+
+    Payload-heavy decode stages want tiny Arrow batches (100 MB of
+    images in one default-10k-row batch blows the buffer), but the
+    setting is session-global and Spark plans lazily — so the CALLER
+    wraps the *materialization* (collect/write/count) in this context,
+    and every other query in the session keeps the default batch size.
+    """
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(rows))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 META_SCHEMA = (
     "width int, height int, channels int, sample_rate int, n_frames int, duration_ms long"
@@ -90,30 +113,36 @@ def _fake_pixels(payload: bytes, w: int, h: int, c: int):
 def decode_images(
     assets: DataFrame,
     deterministic_fake: bool = True,
-    batch_rows: int = 32,
 ) -> DataFrame:
     """(asset_id, height, width, channels, mean_intensity): the decode →
     feature step. Real codecs are unavailable in this environment; with
     `deterministic_fake=False` this raises NotImplementedError from the
-    executor (documenting exactly where a PIL/libvips call slots in)."""
-    spark = assets.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    executor (documenting exactly where a PIL/libvips call slots in).
+
+    Bound Arrow batch bytes by wrapping the *materialization* in
+    `arrow_batch_size(spark, rows)` — the conf is session-global, so
+    this function no longer mutates it behind the caller's back.
+    """
 
     def go(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
+            if not deterministic_fake and len(pdf):
+                raise NotImplementedError(
+                    "real image decode requires PIL/libvips; not present in this env"
+                )
             out = []
-            for _, row in pdf.iterrows():
-                w, h, c = row["width"], row["height"], row["channels"]
-                if deterministic_fake:
-                    px = _fake_pixels(row["payload"], w, h, c)
-                else:
-                    raise NotImplementedError(
-                        "real image decode requires PIL/libvips; not present in this env"
-                    )
-                out.append((row["asset_id"], h, w, c, float(px.mean())))
+            # per-ASSET loop (one decode call per image, like any codec
+            # binding); columns pulled once as arrays — no pandas
+            # per-row Series construction
+            for aid, payload, w, h, c in zip(
+                pdf["asset_id"].to_numpy(), pdf["payload"],
+                pdf["width"].to_numpy(), pdf["height"].to_numpy(),
+                pdf["channels"].to_numpy(),
+            ):
+                px = _fake_pixels(payload, int(w), int(h), int(c))
+                out.append((aid, int(h), int(w), int(c), float(px.mean())))
             yield pd.DataFrame(
                 out, columns=["asset_id", "height", "width", "channels", "mean_intensity"]
             )
@@ -141,15 +170,19 @@ def resize_images(
         import pandas as pd
 
         for pdf in batches:
+            if not deterministic_fake and len(pdf):
+                raise NotImplementedError("real resize requires an image codec")
             ids, payloads = [], []
-            for _, row in pdf.iterrows():
-                if not deterministic_fake:
-                    raise NotImplementedError("real resize requires an image codec")
-                px = _fake_pixels(row["payload"], row["width"], row["height"], row["channels"])
+            for aid, payload, w, h, c in zip(
+                pdf["asset_id"].to_numpy(), pdf["payload"],
+                pdf["width"].to_numpy(), pdf["height"].to_numpy(),
+                pdf["channels"].to_numpy(),
+            ):
+                px = _fake_pixels(payload, int(w), int(h), int(c))
                 ys = (np.arange(target) * px.shape[0] // target)
                 xs = (np.arange(target) * px.shape[1] // target)
                 small = px[ys][:, xs]
-                ids.append(row["asset_id"])
+                ids.append(aid)
                 payloads.append(small.tobytes())
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 

@@ -167,22 +167,28 @@ def ivf_cosine_topk(
 
         return df.mapInPandas(go, f"{idname} long, cell long")
 
+    def _cell_means(pdf):
+        import pandas as pd
+
+        V = np.stack(pdf["cv"].to_numpy())
+        return pd.DataFrame(
+            {"cell": [int(pdf["cell"].iloc[0])], "mean": [V.mean(axis=0).tolist()]}
+        )
+
     for _ in range(lloyd_rounds):
-        assigned = assign_cells(c.withColumnRenamed("cv", "v").withColumnRenamed("neighbor_id", "neighbor_id"), "neighbor_id", 1)
-        joined = assigned.join(c, "neighbor_id")
-        sums = joined.select(
-            "cell", F.posexplode("cv").alias("pos", "val")
-        ).groupBy("cell", "pos").agg(F.sum("val").alias("s"), F.count("*").alias("n"))
-        rows = sums.collect()
+        assigned = assign_cells(c.withColumnRenamed("cv", "v"), "neighbor_id", 1)
+        # centroid update aggregates to one mean VECTOR per cell
+        # executor-side (applyInPandas over the cell group); the driver
+        # collects exactly n_cells rows, never (cell x dim) scalars
+        means = (
+            assigned.join(c, "neighbor_id")
+            .groupBy("cell")
+            .applyInPandas(_cell_means, "cell long, mean array<double>")
+            .collect()
+        )
         newc = cents.copy()
-        bycell: dict[int, list] = {}
-        for r in rows:
-            bycell.setdefault(r["cell"], []).append(r)
-        for cell, rs in bycell.items():
-            vec = np.zeros(cents.shape[1])
-            for r in rs:
-                vec[r["pos"]] = r["s"] / r["n"]
-            newc[cell] = vec
+        for r in means:
+            newc[int(r["cell"])] = np.asarray(r["mean"])
         cents = newc
 
     cell_of = assign_cells(c.withColumnRenamed("cv", "v"), "neighbor_id", 1).persist()

@@ -31,6 +31,56 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class TerminatedError(RuntimeError):
+    """Raised inside a kernel superstep loop when a run is cancelled
+    cooperatively (ref `core/.../utils/TerminationFlag.java`, checked in
+    every reference kernel loop, e.g. `TriangleCountQueue.java:131,139`)."""
+
+
+_FLAGGED: set[str] = set()
+
+
+def request_termination(job_group: str, spark: SparkSession | None = None) -> None:
+    """Flag a named run for cooperative termination. If a live session
+    is passed, in-flight Spark jobs of that group are cancelled too —
+    the driver loop then raises `TerminatedError` at its next
+    `check_termination` (within one superstep)."""
+    _FLAGGED.add(job_group)
+    if spark is not None:
+        spark.sparkContext.cancelJobGroup(job_group)
+
+
+def check_termination(spark: SparkSession, termination, step: int | None = None) -> None:
+    """Cooperative-cancellation check, called once per superstep by
+    every kernel driver loop.
+
+    ``termination`` is any of:
+    - None — no-op;
+    - a callable ``() -> bool`` — terminate when it returns truthy;
+    - a string — a run name flagged via `request_termination`, OR a
+      filesystem path: creating that file from any process requests
+      termination (the external kill switch for a long run).
+
+    Also tags subsequent jobs with the group name so
+    `cancelJobGroup(name)` can interrupt the in-flight superstep.
+    Raises `TerminatedError`; with a durable `checkpoint_dir` the run
+    stays resumable from its last checkpoint.
+    """
+    if termination is None:
+        return
+    if callable(termination):
+        if termination():
+            raise TerminatedError(f"run terminated cooperatively at step {step}")
+        return
+    spark.sparkContext.setJobGroup(termination, "nga superstep loop", True)
+    if termination in _FLAGGED or (
+        (os.sep in termination or "/" in termination) and os.path.exists(termination)
+    ):
+        raise TerminatedError(
+            f"run {termination!r} terminated cooperatively at step {step}"
+        )
+
+
 @contextmanager
 def adaptive_disabled(spark: SparkSession):
     """Disable AQE for the duration of a superstep loop.

@@ -101,6 +101,50 @@ def degree_budget_partition(
     return out.repartition(num_partitions, "part_id")
 
 
+def distributed_rank(
+    df: DataFrame, col: str = "id", n_buckets: int | None = None
+) -> DataFrame:
+    """(col, _rank): zero-based global rank ordered by `col` over DISTINCT
+    values, with no single-reducer window. Two-level scan:
+
+    1. range-shuffle rows into ordered buckets (`repartitionByRange` —
+       bucket i's values all precede bucket i+1's);
+    2. within-bucket `row_number` (parallel across buckets);
+    3. per-bucket counts -> exclusive bases (n_buckets rows, the only
+       global window) broadcast-joined back.
+
+    This is the IdMapping-scale replacement for `row_number() over
+    (order by col)`: identical output, O(rows/bucket) per task.
+    """
+    spark = df.sparkSession
+    n_buckets = n_buckets or spark.sparkContext.defaultParallelism * 4
+    bucketed = (
+        df.select(col)
+        .repartitionByRange(n_buckets, F.col(col))
+        .withColumn("_bkt", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("_bkt").orderBy(col)
+    ranked = bucketed.withColumn("_r_in", F.row_number().over(w_in) - 1).persist()
+    bases = (
+        ranked.groupBy("_bkt")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_base",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bkt", "_base")
+    )
+    return (
+        ranked.join(F.broadcast(bases), "_bkt")
+        .select(F.col(col), (F.col("_r_in") + F.col("_base")).cast("long").alias("_rank"))
+    )
+
+
 def split_high_degree(
     edges: DataFrame,
     threshold: int,

@@ -46,7 +46,11 @@ def _registry() -> dict[str, Procedure]:
     from .operators.mst import mst
     from .operators.pagerank import pagerank
     from .operators.scc import scc
-    from .operators.shortest_path import delta_stepping, shortest_paths
+    from .operators.shortest_path import (
+        all_shortest_paths_weighted,
+        delta_stepping,
+        shortest_paths,
+    )
     from .operators.triangles import triangle_count, triangle_stream
     from .operators.wcc import wcc
 
@@ -60,6 +64,7 @@ def _registry() -> dict[str, Procedure]:
         Procedure("algo.closeness", "MS-BFS closeness centrality (MSClosenessCentrality.java)", closeness),
         Procedure("algo.harmonic", "MS-BFS harmonic centrality (MSHarmonicCentrality.java)", harmonic),
         Procedure("algo.allShortestPaths.stream", "unweighted APSP stream (MSBFSAllShortestPaths.java)", _wrap_df(all_shortest_paths)),
+        Procedure("algo.allShortestPaths.weighted.stream", "weighted APSP stream (AllShortestPaths.java:22-46)", _wrap_df(all_shortest_paths_weighted)),
         Procedure("algo.shortestPaths", "SSSP distances (ShortestPaths.java)", shortest_paths),
         Procedure("algo.shortestPath.deltaStepping", "bucketed SSSP (ShortestPathDeltaStepping.java)", delta_stepping),
         Procedure("algo.mst", "minimum spanning tree (MSTPrim.java → Borůvka)", mst),

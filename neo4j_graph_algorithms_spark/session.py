@@ -51,9 +51,15 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         # iterative kernels retire a localCheckpoint per superstep; the
-        # blocks are only freed when the JVM GCs the RDD handle, so an
-        # aggressive periodic GC keeps BlockManager storage flat
-        .config("spark.cleaner.periodicGC.interval", "30s")
+        # blocks are only freed when the JVM GCs the RDD handle, so a
+        # periodic GC keeps BlockManager storage flat. Tunable because a
+        # forced full GC of a large heap pauses O(seconds) — benchmarks
+        # with short supersteps raise it so the pause doesn't masquerade
+        # as superstep variance
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("NGA_PERIODIC_GC", "30s"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -72,17 +72,22 @@ def streaming_event_counts(
 class IncrementalWCC:
     """foreachBatch sink maintaining (id, component) across micro-batches.
 
-    State lives in `state_dir` as parquet (the Iceberg-table stand-in).
-    Per batch: load state, attach known components to the new edges'
-    endpoints, then run the min-label fixpoint over the UNION of new
-    edges and one synthetic edge per already-known component member —
-    restricted to touched components, so batch cost scales with the
-    affected region, not the graph.
+    State lives in `state_dir` as parquet PARTITIONED BY a hash bucket
+    of the node id (the Iceberg-table stand-in; Iceberg would make this
+    a `bucket(id)` partition spec + MERGE). Per batch: load state,
+    attach known components to the new edges' endpoints, run the
+    min-label fixpoint over the UNION of new edges and one star edge
+    per already-known member of a touched component — so compute scales
+    with the affected region — and then rewrite ONLY the bucket
+    partitions that contain relabeled rows (dynamic partition
+    overwrite). Batch I/O is O(affected buckets), never the O(V)
+    whole-table rewrite.
     """
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(self, spark: SparkSession, state_dir: str, n_buckets: int = 64):
         self.spark = spark
         self.state_dir = state_dir
+        self.n_buckets = n_buckets
         self.path = os.path.join(state_dir, "components")
 
     def _load_state(self) -> DataFrame | None:
@@ -90,11 +95,15 @@ class IncrementalWCC:
             return self.spark.read.parquet(self.path)
         return None
 
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("id"), F.lit(self.n_buckets))
+        )
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         from ..graph import Graph
         from ..operators.wcc import wcc
 
-        spark = self.spark
         state = self._load_state()
         new_edges = batch.select("src", "dst").distinct()
         if state is not None:
@@ -110,18 +119,34 @@ class IncrementalWCC:
                 F.col("component").alias("src"), F.col("id").alias("dst")
             )
             work_edges = new_edges.unionByName(star)
-            untouched = state.join(touched, "component", "left_anti")
         else:
             work_edges = new_edges
-            untouched = None
 
         g = Graph.from_edges(work_edges.withColumn("weight", F.lit(1.0)), weight="weight")
         comp, _ = wcc(g)
-        merged = comp if untouched is None else comp.unionByName(untouched)
-        tmp = self.path + f".tmp{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path)
+        # `comp` covers every row whose assignment may have changed (new
+        # nodes + all members of touched components); rows in other
+        # buckets are untouched by construction and never rewritten
+        updated = self._bucketed(comp)
+        if state is None:
+            updated.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
+            return
+        buckets = [r["bucket"] for r in updated.select("bucket").distinct().collect()]
+        # rebuild only affected buckets: surviving old rows + updates;
+        # the bucket filter prunes the state scan to those partitions
+        keep = state.filter(F.col("bucket").isin(buckets)).join(
+            updated.select("id"), "id", "left_anti"
+        )
+        replacement = keep.unionByName(updated).localCheckpoint(eager=True)
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # dynamic mode replaces ONLY the bucket= partitions present
+            # in `replacement` (materialized above, so the concurrent
+            # read-own-path hazard is gone)
+            replacement.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     def start(self, edge_stream: DataFrame, checkpoint: str | None = None):
         q = (
@@ -132,4 +157,5 @@ class IncrementalWCC:
         return q.start()
 
     def components(self) -> DataFrame | None:
-        return self._load_state()
+        state = self._load_state()
+        return None if state is None else state.select("id", "component")

