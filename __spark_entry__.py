@@ -217,9 +217,10 @@ def _sql_sssp_unrolled(rounds: int) -> str:
     return "\n".join(parts)
 
 
-def _sql_apsp_unrolled(max_depth: int) -> str:
-    """Depth-bounded unweighted BFS all-pairs: frontier f_k = unseen
-    successors of f_{k-1}; cumulative c_k tracks shortest depth."""
+def _sql_apsp_prefix(max_depth: int) -> str:
+    """Depth-bounded unweighted BFS all-pairs CTE chain (no final
+    SELECT): frontier f_k = unseen successors of f_{k-1}; cumulative
+    c_k tracks shortest depth."""
     parts = [
         "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",",
         "c0 AS (SELECT doc_id AS source, doc_id AS target, 0 AS depth FROM documents),",
@@ -236,10 +237,99 @@ def _sql_apsp_unrolled(max_depth: int) -> str:
             f"c{k} AS MATERIALIZED (SELECT * FROM c{k - 1} UNION ALL SELECT * FROM f{k}),"
         )
     parts[-1] = parts[-1].rstrip(",")
-    parts.append(
-        f"SELECT source, target, depth FROM c{max_depth} WHERE depth > 0 "
+    return "\n".join(parts)
+
+
+def _sql_apsp_unrolled(max_depth: int) -> str:
+    return (
+        _sql_apsp_prefix(max_depth)
+        + f"\nSELECT source, target, depth FROM c{max_depth} WHERE depth > 0 "
         "ORDER BY source, target"
     )
+
+
+def _sql_closeness_unrolled(max_depth: int) -> str:
+    """(n-1)/farness over the depth-bounded pair set."""
+    return (
+        _sql_apsp_prefix(max_depth)
+        + f"""
+, farness AS (SELECT target AS id, sum(depth) AS f
+              FROM c{max_depth} WHERE depth > 0 GROUP BY target),
+nn2 AS (SELECT count(*) AS n FROM documents)
+SELECT d.doc_id AS id,
+       ROUND(CASE WHEN coalesce(fa.f, 0) > 0
+                  THEN (nn2.n - 1) * 1.0 / fa.f ELSE 0.0 END, {ROUND}) AS centrality
+FROM documents d CROSS JOIN nn2 LEFT JOIN farness fa ON d.doc_id = fa.id
+ORDER BY id"""
+    )
+
+
+def _sql_harmonic_unrolled(max_depth: int) -> str:
+    """(Σ 1/depth) / (n-1) over the depth-bounded pair set."""
+    return (
+        _sql_apsp_prefix(max_depth)
+        + f"""
+, inv AS (SELECT target AS id, sum(1.0 / depth) AS s
+          FROM c{max_depth} WHERE depth > 0 GROUP BY target),
+nn2 AS (SELECT count(*) AS n FROM documents)
+SELECT d.doc_id AS id,
+       ROUND(coalesce(inv.s, 0.0) / greatest(nn2.n - 1, 1), {ROUND}) AS centrality
+FROM documents d CROSS JOIN nn2 LEFT JOIN inv ON d.doc_id = inv.id
+ORDER BY id"""
+    )
+
+
+def _sql_louvain_unrolled(iterations: int) -> str:
+    """Single-level Louvain, unrolled: per half-step, per node, the
+    neighbor community with max modularity gain
+    ΔQ = w_in/2m − k_i·(Σtot − [own]k_i)/(2m)² (exactly
+    operators/louvain.py's recurrence; parity half-steps, ties broken
+    (gain desc, community asc)). Gains are bit-identical across engines
+    (sums of unit weights are exact doubles), so the integer community
+    labels compare exactly."""
+    parts = [
+        "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",",
+        "sym AS MATERIALIZED (SELECT src, dst FROM e WHERE src <> dst "
+        "UNION SELECT dst, src FROM e WHERE src <> dst),",
+        "m2 AS (SELECT count(*) * 1.0 AS v FROM sym),",
+        "kk AS MATERIALIZED (SELECT src AS id, count(*) * 1.0 AS k FROM sym GROUP BY src),",
+        "c0 AS (SELECT doc_id AS id, doc_id AS community FROM documents),",
+    ]
+    s = 0
+    for _ in range(iterations):
+        for parity in (0, 1):
+            p, c = f"c{s}", f"c{s + 1}"
+            parts.append(
+                f"win{s} AS MATERIALIZED (SELECT s.src AS id, c.community, "
+                f"count(*) * 1.0 AS w_in FROM sym s JOIN {p} c ON s.dst = c.id "
+                f"GROUP BY s.src, c.community),"
+            )
+            parts.append(
+                f"tot{s} AS MATERIALIZED (SELECT c.community, sum(kk.k) AS tot "
+                f"FROM {p} c JOIN kk ON kk.id = c.id GROUP BY c.community),"
+            )
+            parts.append(
+                f"cand{s} AS MATERIALIZED (SELECT w.id, w.community, "
+                f"w.w_in / m2.v - (kk.k * (t.tot - CASE WHEN w.community = own.community "
+                f"THEN kk.k ELSE 0.0 END)) / (m2.v * m2.v) AS gain "
+                f"FROM win{s} w JOIN tot{s} t ON w.community = t.community "
+                f"JOIN kk ON kk.id = w.id JOIN {p} own ON own.id = w.id "
+                f"CROSS JOIN m2),"
+            )
+            parts.append(
+                f"best{s} AS MATERIALIZED (SELECT id, community FROM ("
+                f"SELECT id, community, gain, row_number() OVER "
+                f"(PARTITION BY id ORDER BY gain DESC, community ASC) AS rn "
+                f"FROM cand{s}) WHERE rn = 1 AND gain > 0),"
+            )
+            parts.append(
+                f"{c} AS MATERIALIZED (SELECT c.id, CASE WHEN c.id % 2 = {parity} "
+                f"AND b.community IS NOT NULL THEN b.community ELSE c.community END "
+                f"AS community FROM {p} c LEFT JOIN best{s} b ON b.id = c.id),"
+            )
+            s += 1
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT id, community FROM c{s} ORDER BY id")
     return "\n".join(parts)
 
 
@@ -541,6 +631,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return all_shortest_paths(g, direction="out", max_depth=4)
 
+    def q_louvain(spark, sf):
+        from neo4j_graph_algorithms_spark.operators.louvain import louvain
+
+        g = _doc_graph(spark, sf)
+        comm, _ = louvain(g, iterations=1)
+        return comm
+
+    def q_closeness_hops4(spark, sf):
+        # radius-bounded closeness (depths <= 4, OUT direction): the
+        # MS-BFS farness aggregation with the reference's (n-1)/farness
+        # formula (MSClosenessCentrality.java:43-95), SQL-verifiable
+        # because the bounded pair set is exactly apsp_hops4's
+        from neo4j_graph_algorithms_spark.operators.msbfs import ms_bfs_depths
+
+        g = _doc_graph(spark, sf)
+        n = g.node_count()
+        depths = ms_bfs_depths(g, direction="out", max_depth=4)
+        farness = depths.groupBy(F.col("node").alias("id")).agg(
+            F.sum(F.col("depth") * F.col("n_sources")).alias("farness")
+        )
+        return g.nodes.select("id").join(farness, "id", "left").select(
+            "id",
+            F.round(
+                F.when(
+                    F.coalesce(F.col("farness"), F.lit(0)) > 0,
+                    F.lit(float(n - 1)) / F.col("farness"),
+                ).otherwise(F.lit(0.0)),
+                ROUND,
+            ).alias("centrality"),
+        )
+
+    def q_harmonic_hops4(spark, sf):
+        # radius-bounded harmonic centrality (MSHarmonicCentrality.java:55-79)
+        from neo4j_graph_algorithms_spark.operators.msbfs import ms_bfs_depths
+
+        g = _doc_graph(spark, sf)
+        n = g.node_count()
+        depths = ms_bfs_depths(g, direction="out", max_depth=4)
+        inv = depths.groupBy(F.col("node").alias("id")).agg(
+            F.sum(F.col("n_sources") / F.col("depth")).alias("inv_sum")
+        )
+        return g.nodes.select("id").join(inv, "id", "left").select(
+            "id",
+            F.round(
+                F.coalesce(F.col("inv_sum"), F.lit(0.0)) / F.lit(float(max(n - 1, 1))),
+                ROUND,
+            ).alias("centrality"),
+        )
+
     def q_events_hourly(spark, sf):
         ev = _read(spark, sf, "events")
         return ev.groupBy(
@@ -573,6 +712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "sssp_hops12": q_sssp_hops12,
         "apsp_hops4": q_apsp_hops4,
+        "louvain": q_louvain,
+        "closeness_hops4": q_closeness_hops4,
+        "harmonic_hops4": q_harmonic_hops4,
         "events_hourly": q_events_hourly,
     }
 
@@ -655,6 +797,9 @@ j AS (SELECT id_a, id_b, n * 1.0 / (sa.sz + sb.sz - n) AS jac
 SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM j WHERE jac >= 0.85""",
         "sssp_hops12": _sql_sssp_unrolled(12),
         "apsp_hops4": _sql_apsp_unrolled(4),
+        "louvain": _sql_louvain_unrolled(1),
+        "closeness_hops4": _sql_closeness_unrolled(4),
+        "harmonic_hops4": _sql_harmonic_unrolled(4),
         "events_hourly": f"""
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events, ROUND(sum(value), {ROUND}) AS sum_value
