@@ -49,11 +49,13 @@ def _oriented(graph: Graph, by_degree: bool) -> tuple[DataFrame, DataFrame]:
     return ori.select("src", "dst"), deg
 
 
-def triangle_stream(graph: Graph, by_degree: bool = True) -> DataFrame:
+def triangle_stream(
+    graph: Graph, by_degree: bool = True, _oriented_deg=None
+) -> DataFrame:
     """All triangles as (a, b, c) rows, each unordered triple once,
     corners sorted ascending (deterministic; ref TriangleStream emits
     node-id ordered triples from the u<s<t scan)."""
-    ori, _ = _oriented(graph, by_degree)
+    ori, _ = _oriented_deg if _oriented_deg is not None else _oriented(graph, by_degree)
     e1 = ori.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = ori.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = ori.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -77,7 +79,11 @@ def triangle_count(
     surface of `algo.triangleCount` + coefficient write-back
     (`algo/.../TriangleProc.java:58-298`)."""
     t0 = time.time()
-    tri = triangle_stream(graph, by_degree=by_degree).persist()
+    # one orientation pass: the (oriented, degree) pair feeds both the
+    # wedge-close plan and the coefficient denominator — the undirected
+    # doubling + degree agg is computed once, not once per consumer
+    ori_deg = _oriented(graph, by_degree)
+    tri = triangle_stream(graph, by_degree=by_degree, _oriented_deg=ori_deg).persist()
     total = tri.count()
 
     corners = (
@@ -87,8 +93,7 @@ def triangle_count(
     )
     per_node_t = corners.groupBy("id").agg(F.count("*").alias("triangles"))
 
-    und = undirect(graph.edges)
-    deg = degrees(und, "out")
+    deg = ori_deg[1]
     per_node = (
         graph.nodes.select("id")
         .join(per_node_t, "id", "left")
