@@ -472,7 +472,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("l_quantity").alias("weight"),
         )
         g = Graph.from_edges(edges, weight="weight", dedup=True).cache()
-        comp, _ = wcc(g, threshold=48.0)
+        # edges are strictly partkey -> suppkey+1e6 (one direction, no
+        # reciprocal pairs) and already deduped upstream, so the
+        # symmetric union inside wcc cannot contain duplicates — skip
+        # its O(E) distinct() shuffle
+        comp, _ = wcc(g, threshold=48.0, assume_deduped=True)
         return comp
 
     def q_wcc_sizes(spark, sf):
