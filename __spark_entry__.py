@@ -47,15 +47,21 @@ def _doc_link_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     files = repo_table_from_documents(docs)
     links = extract_links(files)
-    # anchored doc-id extraction; targets that aren't src/d<N>.py (an
-    # import-looking line in the document text) extract as '' → NULL
-    # after the cast and are DROPPED — matching the oracle regex, which
-    # only ever captures src/d<N>.py targets
-    return links.select(
-        F.regexp_extract("path", r"^src/d(\d+)\.py$", 1).cast("long").alias("src"),
-        F.regexp_extract("dst_path", r"^src/d(\d+)\.py$", 1).cast("long").alias("dst"),
-        "content_sha256",
-    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    # anchored doc-id extraction; FILTER BEFORE CAST: under the default
+    # ANSI mode (spark.sql.ansi.enabled=true in Spark 4) casting the ''
+    # a non-matching regexp_extract yields would raise
+    # CAST_INVALID_INPUT, so rows whose path/target isn't src/d<N>.py
+    # (an import-looking line in the document text) are dropped first —
+    # the same WHERE-then-CAST order the DuckDB oracle uses
+    pat = r"^src/d(\d+)\.py$"
+    return (
+        links.filter(F.col("path").rlike(pat) & F.col("dst_path").rlike(pat))
+        .select(
+            F.regexp_extract("path", pat, 1).cast("long").alias("src"),
+            F.regexp_extract("dst_path", pat, 1).cast("long").alias("dst"),
+            "content_sha256",
+        )
+    )
 
 
 def _doc_graph(spark: SparkSession, sf_dir: str):

@@ -199,6 +199,28 @@ def densify_ids(
     return mapping, dense
 
 
+def compact_id_type(df: DataFrame, cols: tuple[str, ...] = (SRC, DST)) -> str:
+    """``"int"`` when every id in `cols` fits int32, else ``"long"`` —
+    the Spark analogue of the reference's Heavy (int) vs Huge (long)
+    backend split (`core/.../heavyweight` vs `core/.../huge`,
+    SURVEY.md §1.2). Casting ids down shrinks the per-edge tuple 24→16
+    bytes, and the memory-bandwidth-bound superstep joins move a third
+    fewer bytes — on this sandbox memory bandwidth is exactly the
+    scaling ceiling (BASELINE.md), so every long-id kernel loop should
+    run through this check.
+
+    Both bounds matter: the documented ingest path assigns full-range
+    xxhash64 ids, ~half of them negative — a frame whose max fits int32
+    but whose min is below INT_MIN must stay long, or the cast fails
+    under ANSI mode (or silently wraps ids without it)."""
+    mx_expr = F.greatest(*cols) if len(cols) > 1 else F.col(cols[0])
+    mn_expr = F.least(*cols) if len(cols) > 1 else F.col(cols[0])
+    bounds = df.agg(F.max(mx_expr).alias("mx"), F.min(mn_expr).alias("mn")).collect()[0]
+    max_id = bounds["mx"] or 0
+    min_id = bounds["mn"] or 0
+    return "int" if (max_id < (1 << 31) - 1 and min_id >= -(1 << 31)) else "long"
+
+
 @dataclass
 class Graph:
     """Immutable graph snapshot: the Spark analogue of

@@ -50,6 +50,11 @@ def _select_sources(
     seed: int,
 ) -> tuple[DataFrame, float, int]:
     """(sources, scale, n_sources) per the reference's strategies."""
+    # validate up front: a typo'd strategy must raise identically
+    # whether or not `sample` is set (it used to fall through to the
+    # full exact run when sample was None)
+    if strategy not in ("random", "degree"):
+        raise ValueError(f"unknown selection strategy: {strategy!r}")
     n = graph.node_count()
     nodes = graph.nodes.select("id")
     if sample is None and strategy != "degree":

@@ -73,21 +73,42 @@ def label_propagation(
                 F.col("dst").alias("node"), F.col("src").alias("nbr"), "weight"
             )
         )
-    e = e.persist()
-    e.count()
-
     if seed_col is not None and seed_col in nodes.columns:
         init = nodes.select(
             "id", F.coalesce(F.col(seed_col).cast("long"), F.col("id")).alias("label")
         )
     else:
         init = nodes.select("id", F.col("id").alias("label"))
+
+    # int-id compression (shared Heavy-vs-Huge analogue,
+    # graph.compact_id_type): the superstep join+agg shuffles (node,
+    # nbr, label) tuples every iteration — when ids AND seed labels all
+    # fit int32 the shuffled bytes drop by a third
+    from ..graph import compact_id_type
+
+    id_t = "int" if (
+        compact_id_type(e, ("node", "nbr")) == "int"
+        and compact_id_type(init, ("id", "label")) == "int"
+    ) else "long"
+    if id_t == "int":
+        e = e.select(
+            F.col("node").cast("int").alias("node"),
+            F.col("nbr").cast("int").alias("nbr"),
+            "weight",
+        )
+        init = init.select(
+            F.col("id").cast("int").alias("id"), F.col("label").cast("int").alias("label")
+        )
+    e = e.persist()
+    e.count()
+
     if node_weight_col is not None and node_weight_col in nodes.columns:
         nw = nodes.select(
-            "id", F.coalesce(F.col(node_weight_col).cast("double"), F.lit(1.0)).alias("nw")
+            F.col("id").cast(id_t).alias("id"),
+            F.coalesce(F.col(node_weight_col).cast("double"), F.lit(1.0)).alias("nw"),
         )
     else:
-        nw = nodes.select("id", F.lit(1.0).alias("nw"))
+        nw = nodes.select(F.col("id").cast(id_t).alias("id"), F.lit(1.0).alias("nw"))
     nw = nw.persist()
 
     cache = IterationCache(spark, checkpoint_dir, checkpoint_every)
@@ -145,4 +166,7 @@ def label_propagation(
     }
     e.unpersist()
     nw.unpersist()
+    labels = labels.select(
+        F.col("id").cast("long").alias("id"), F.col("label").cast("long").alias("label")
+    )
     return labels, stats

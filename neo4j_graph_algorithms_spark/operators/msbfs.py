@@ -15,13 +15,17 @@ bitsets `BiMultiBitSet32.java`, `MultiBitSet32.java`). Consumers:
   rows (`impl/MSBFSAllShortestPaths.java`)
 
 Spark rebuild: the per-word bitset becomes a LongType `mask` column —
-64 sources per batch (vs the reference's 32 per int) — and ALL batches
-advance in the same superstep: the frontier DataFrame is keyed
-``(batch, node, mask)``, so one `edges ⨝ frontier` + `groupBy(batch,
-node).agg(bit_or(mask))` per depth serves every batch at once. Per-depth
-shuffle volume is O(frontier), edges stay cached and hash-partitioned.
-`visited` is a second (batch, node, seen_mask) frame updated with the
-same cadence (persist + fold-style truncation as in PageRank).
+64 sources per batch (vs the reference's 32 per int) — and batches
+advance together in BOUNDED WAVES of ``wave_size`` sources: within a
+wave the frontier DataFrame is keyed ``(batch, node, mask)``, so one
+`edges ⨝ frontier` + `groupBy(batch, node).agg(bit_or(mask))` per depth
+serves every in-flight batch at once, while peak `visited` state is
+O(V · wave_size/64) rows instead of O(V²/64) — the Spark analogue of
+the reference streaming its 32-source batches rather than holding every
+batch's state simultaneously. Per-depth shuffle volume is O(frontier),
+edges stay cached and hash-partitioned. `visited` is a second
+(batch, node, seen_mask) frame updated with the same cadence
+(localCheckpoint truncation as in PageRank).
 """
 
 from __future__ import annotations
@@ -74,12 +78,31 @@ def _sym_edges(graph: Graph, direction: str) -> DataFrame:
     return undirect(graph.edges).select("src", "dst")
 
 
+def _wave_ranges(numbered: DataFrame, wave_size: int | None) -> list[tuple[int, int]]:
+    """Split the numbered source batches into waves of
+    ``ceil(wave_size/64)`` batches each (``wave_size=None`` → one wave).
+
+    The wave loop is what bounds peak traversal state: with all batches
+    advancing together the `visited` frame is O(V · n_batches) rows
+    (O(V²/64) from all-nodes sources); per wave it is O(V · wave/64) —
+    the same bound the reference gets by streaming its 32-source batches
+    one at a time (`impl/msbfs/MultiSourceBFS.java:33-79`). Results are
+    per-source-disjoint, so waves compose by pure union/sum."""
+    mx = numbered.agg(F.max("batch")).collect()[0][0]
+    if mx is None:
+        return []
+    n_batches = int(mx) + 1
+    wb = n_batches if wave_size is None else max(1, wave_size // 64)
+    return [(lo, min(lo + wb, n_batches)) for lo in range(0, n_batches, wb)]
+
+
 def ms_bfs_depths(
     graph: Graph,
     direction: str = "both",
     sources: DataFrame | None = None,
     max_depth: int | None = None,
     termination=None,
+    wave_size: int | None = 4096,
 ) -> DataFrame:
     """Run MS-BFS from every source (default: all nodes).
 
@@ -87,6 +110,9 @@ def ms_bfs_depths(
     at shortest-path distance `depth` (depth ≥ 1). This is the exact
     aggregate both closeness (Σ depth·n) and harmonic (Σ n/depth)
     consume, without materializing the O(V²) pair list.
+
+    ``wave_size`` bounds how many sources are in flight at once (see
+    `_wave_ranges`); the output is identical for any wave size.
     """
     spark = graph.edges.sparkSession
     edges = _sym_edges(graph, direction)
@@ -96,59 +122,69 @@ def ms_bfs_depths(
 
     src_nodes = sources if sources is not None else graph.nodes.select("id")
     # batch id + bit position per source: 64 sources per batch
-    numbered = _number_sources(src_nodes)
-    frontier = numbered.select(
-        "batch", F.col("id").alias("node"),
-        F.expr("shiftleft(1L, cast(bit as int))").alias("mask"),
-    )
-    visited = frontier.withColumnRenamed("mask", "seen")
+    numbered = _number_sources(src_nodes).localCheckpoint(eager=True)
+    waves = _wave_ranges(numbered, wave_size)
 
-    out_rows = []
-    depth = 0
     results: DataFrame | None = None
     with adaptive_disabled(spark):
-        frontier = frontier.localCheckpoint(eager=True)
-        visited = visited.localCheckpoint(eager=True)
-        while True:
-            check_termination(spark, termination, depth)
-            depth += 1
-            if max_depth is not None and depth > max_depth:
-                break
-            # expand: every frontier bit flows along the edges
-            nxt = (
-                edges.join(frontier.withColumnRenamed("node", "src"), "src")
-                .groupBy("batch", F.col("dst").alias("node"))
-                .agg(F.bit_or("mask").alias("mask"))
+        for lo, hi in waves:
+            wave_numbered = (
+                numbered if len(waves) == 1
+                else numbered.filter((F.col("batch") >= lo) & (F.col("batch") < hi))
             )
-            # drop bits already seen
-            nxt = (
-                nxt.join(visited, ["batch", "node"], "left")
-                .select(
-                    "batch", "node",
-                    F.col("mask").bitwiseAND(F.bitwise_not(F.coalesce(F.col("seen"), F.lit(0).cast("long")))).alias("mask"),
-                )
-                .filter(F.col("mask") != 0)
-            )
-            nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
-                break
-            contrib = nxt.select(
-                "node", F.lit(depth).alias("depth"), F.bit_count("mask").alias("n_sources")
-            ).groupBy("node", "depth").agg(F.sum("n_sources").alias("n_sources"))
-            results = contrib if results is None else results.unionByName(contrib)
-            results = results.localCheckpoint(eager=True)
-            visited = (
-                visited.join(nxt.withColumnRenamed("mask", "new"), ["batch", "node"], "full")
-                .select(
-                    "batch", "node",
-                    F.coalesce(F.col("seen"), F.lit(0).cast("long")).bitwiseOR(F.coalesce(F.col("new"), F.lit(0).cast("long"))).alias("seen"),
-                )
+            frontier = wave_numbered.select(
+                "batch", F.col("id").alias("node"),
+                F.expr("shiftleft(1L, cast(bit as int))").alias("mask"),
             ).localCheckpoint(eager=True)
-            frontier = nxt
+            visited = frontier.withColumnRenamed("mask", "seen")
+            depth = 0
+            while True:
+                check_termination(spark, termination, depth)
+                depth += 1
+                if max_depth is not None and depth > max_depth:
+                    break
+                # expand: every frontier bit flows along the edges
+                nxt = (
+                    edges.join(frontier.withColumnRenamed("node", "src"), "src")
+                    .groupBy("batch", F.col("dst").alias("node"))
+                    .agg(F.bit_or("mask").alias("mask"))
+                )
+                # drop bits already seen
+                nxt = (
+                    nxt.join(visited, ["batch", "node"], "left")
+                    .select(
+                        "batch", "node",
+                        F.col("mask").bitwiseAND(F.bitwise_not(F.coalesce(F.col("seen"), F.lit(0).cast("long")))).alias("mask"),
+                    )
+                    .filter(F.col("mask") != 0)
+                )
+                nxt = nxt.localCheckpoint(eager=True)
+                if nxt.isEmpty():
+                    break
+                contrib = nxt.select(
+                    "node", F.lit(depth).alias("depth"), F.bit_count("mask").alias("n_sources")
+                ).groupBy("node", "depth").agg(F.sum("n_sources").alias("n_sources"))
+                results = contrib if results is None else results.unionByName(contrib)
+                results = results.localCheckpoint(eager=True)
+                visited = (
+                    visited.join(nxt.withColumnRenamed("mask", "new"), ["batch", "node"], "full")
+                    .select(
+                        "batch", "node",
+                        F.coalesce(F.col("seen"), F.lit(0).cast("long")).bitwiseOR(F.coalesce(F.col("new"), F.lit(0).cast("long"))).alias("seen"),
+                    )
+                ).localCheckpoint(eager=True)
+                frontier = nxt
     edges.unpersist()
     if results is None:
         schema = "node long, depth int, n_sources long"
         return spark.createDataFrame([], schema)
+    if len(waves) > 1:
+        # the same (node, depth) cell can receive counts from several
+        # waves — re-aggregate so the output contract (one row per
+        # reached cell) holds for every wave size
+        results = results.groupBy("node", "depth").agg(
+            F.sum("n_sources").alias("n_sources")
+        )
     return results
 
 
@@ -192,7 +228,7 @@ def harmonic(graph: Graph, direction: str = "both") -> tuple[DataFrame, dict]:
 
 def all_shortest_paths(
     graph: Graph, direction: str = "out", max_depth: int | None = None,
-    termination=None,
+    termination=None, wave_size: int | None = 4096,
 ) -> DataFrame:
     """Unweighted all-pairs (source, target, depth) rows — the
     `algo.allShortestPaths.stream` MS-BFS variant
@@ -203,75 +239,80 @@ def all_shortest_paths(
     bit is without the source numbering, so this variant re-joins the
     per-depth frontier against the (batch, bit) → source map and
     explodes set bits (`F.filter` over a 0..63 sequence — JVM-side,
-    no Python row loop).
+    no Python row loop). ``wave_size`` bounds in-flight sources (see
+    `_wave_ranges`); waves partition the sources, so their row sets are
+    disjoint and the union is the exact all-pairs answer.
     """
     spark = graph.edges.sparkSession
     src_nodes = graph.nodes.select("id")
-    numbered = _number_sources(src_nodes).persist()
+    numbered = _number_sources(src_nodes).localCheckpoint(eager=True)
+    waves = _wave_ranges(numbered, wave_size)
 
     edges = _sym_edges(graph, direction)
     n_parts = spark.sparkContext.defaultParallelism
     edges = edges.repartition(n_parts, "src").persist()
 
-    frontier = numbered.select(
-        "batch", F.col("id").alias("node"),
-        F.expr("shiftleft(1L, cast(bit as int))").alias("mask"),
-    )
-    visited = frontier.withColumnRenamed("mask", "seen")
-
-
     results: DataFrame | None = None
-    depth = 0
     with adaptive_disabled(spark):
-        frontier = frontier.localCheckpoint(eager=True)
-        visited = visited.localCheckpoint(eager=True)
-        while True:
-            check_termination(spark, termination, depth)
-            depth += 1
-            if max_depth is not None and depth > max_depth:
-                break
-            nxt = (
-                edges.join(frontier.withColumnRenamed("node", "src"), "src")
-                .groupBy("batch", F.col("dst").alias("node"))
-                .agg(F.bit_or("mask").alias("mask"))
-                .join(visited, ["batch", "node"], "left")
-                .select(
+        for lo, hi in waves:
+            wave_numbered = (
+                numbered if len(waves) == 1
+                else numbered.filter(
+                    (F.col("batch") >= lo) & (F.col("batch") < hi)
+                ).localCheckpoint(eager=True)
+            )
+            frontier = wave_numbered.select(
+                "batch", F.col("id").alias("node"),
+                F.expr("shiftleft(1L, cast(bit as int))").alias("mask"),
+            ).localCheckpoint(eager=True)
+            visited = frontier.withColumnRenamed("mask", "seen")
+            depth = 0
+            while True:
+                check_termination(spark, termination, depth)
+                depth += 1
+                if max_depth is not None and depth > max_depth:
+                    break
+                nxt = (
+                    edges.join(frontier.withColumnRenamed("node", "src"), "src")
+                    .groupBy("batch", F.col("dst").alias("node"))
+                    .agg(F.bit_or("mask").alias("mask"))
+                    .join(visited, ["batch", "node"], "left")
+                    .select(
+                        "batch", "node",
+                        F.col("mask").bitwiseAND(F.bitwise_not(F.coalesce(F.col("seen"), F.lit(0).cast("long")))).alias("mask"),
+                    )
+                    .filter(F.col("mask") != 0)
+                    .localCheckpoint(eager=True)
+                )
+                if nxt.isEmpty():
+                    break
+                # explode set bits → (batch, bit) → join back to source ids
+                hits = nxt.select(
                     "batch", "node",
-                    F.col("mask").bitwiseAND(F.bitwise_not(F.coalesce(F.col("seen"), F.lit(0).cast("long")))).alias("mask"),
+                    F.explode(
+                        F.expr("filter(sequence(0, 63), b -> (mask & shiftleft(1L, b)) != 0)")
+                    ).alias("bit"),
                 )
-                .filter(F.col("mask") != 0)
-                .localCheckpoint(eager=True)
-            )
-            if nxt.isEmpty():
-                break
-            # explode set bits → (batch, bit) → join back to source ids
-            hits = nxt.select(
-                "batch", "node",
-                F.explode(
-                    F.expr("filter(sequence(0, 63), b -> (mask & shiftleft(1L, b)) != 0)")
-                ).alias("bit"),
-            )
-            rows = (
-                hits.join(numbered, ["batch", "bit"])
-                .select(
-                    F.col("id").alias("source"),
-                    F.col("node").alias("target"),
-                    F.lit(depth).alias("depth"),
+                rows = (
+                    hits.join(wave_numbered, ["batch", "bit"])
+                    .select(
+                        F.col("id").alias("source"),
+                        F.col("node").alias("target"),
+                        F.lit(depth).alias("depth"),
+                    )
                 )
-            )
-            results = rows if results is None else results.unionByName(rows)
-            results = results.localCheckpoint(eager=True)
-            visited = (
-                visited.join(nxt.withColumnRenamed("mask", "new"), ["batch", "node"], "full")
-                .select(
-                    "batch", "node",
-                    F.coalesce(F.col("seen"), F.lit(0).cast("long")).bitwiseOR(F.coalesce(F.col("new"), F.lit(0).cast("long"))).alias("seen"),
+                results = rows if results is None else results.unionByName(rows)
+                results = results.localCheckpoint(eager=True)
+                visited = (
+                    visited.join(nxt.withColumnRenamed("mask", "new"), ["batch", "node"], "full")
+                    .select(
+                        "batch", "node",
+                        F.coalesce(F.col("seen"), F.lit(0).cast("long")).bitwiseOR(F.coalesce(F.col("new"), F.lit(0).cast("long"))).alias("seen"),
+                    )
+                    .localCheckpoint(eager=True)
                 )
-                .localCheckpoint(eager=True)
-            )
-            frontier = nxt
+                frontier = nxt
     edges.unpersist()
-    numbered.unpersist()
     if results is None:
         return spark.createDataFrame([], "source long, target long, depth int")
     return results

@@ -154,24 +154,13 @@ def pagerank(
     spark = graph.edges.sparkSession
     t0 = time.time()
 
-    # int-id compression — the Spark analogue of the reference's Heavy
-    # (int) vs Huge (long) backends (`core/.../heavyweight` vs
-    # `core/.../huge`, SURVEY.md §1.2): when every id fits int32, the
-    # edge tuple shrinks from 24 to 16 bytes and the memory-bandwidth-
-    # bound join probe moves a third fewer bytes per superstep.
-    # inv_deg and messages stay float64: a float32 reciprocal costs
-    # ~3e-8 per hop (measured) — too close to the 1e-6 parity bar.
-    # both bounds matter: the documented ingest path assigns full-range
-    # xxhash64 ids, ~half of them negative — a graph whose max fits int32
-    # but whose min is below INT_MIN must stay long, or the cast fails
-    # under ANSI mode (or silently wraps ids without it).
-    bounds = graph.edges.agg(
-        F.max(F.greatest("src", "dst")).alias("mx"),
-        F.min(F.least("src", "dst")).alias("mn"),
-    ).collect()[0]
-    max_id = bounds["mx"] or 0
-    min_id = bounds["mn"] or 0
-    id_t = "int" if (max_id < (1 << 31) - 1 and min_id >= -(1 << 31)) else "long"
+    # int-id compression (shared Heavy-vs-Huge analogue, see
+    # graph.compact_id_type). inv_deg and messages stay float64: a
+    # float32 reciprocal costs ~3e-8 per hop (measured) — too close to
+    # the 1e-6 parity bar.
+    from ..graph import compact_id_type
+
+    id_t = compact_id_type(graph.edges)
 
     out_deg = graph.out_degrees().select(
         F.col("id").cast(id_t).alias("src"), F.col("degree")

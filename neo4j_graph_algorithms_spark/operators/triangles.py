@@ -38,14 +38,27 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..graph import Graph, degrees, orient, undirect
+from ..graph import Graph, compact_id_type, degrees, orient, undirect
 
 
 def _oriented(graph: Graph, by_degree: bool) -> tuple[DataFrame, DataFrame]:
-    """(oriented edge set with src<dst per pair, undirected degrees)."""
-    und = undirect(graph.edges)  # both directions, deduped
+    """(oriented edge set with src<dst per pair, undirected degrees).
+
+    Ids are int-compressed when they fit int32 (shared Heavy-vs-Huge
+    analogue, graph.compact_id_type): the wedge self-join and the
+    left_semi close are the two big shuffles of the plan, and both move
+    a third fewer bytes on int tuples. `triangle_stream` casts the
+    emitted triples back to long."""
+    edges = graph.edges
+    if compact_id_type(edges) == "int":
+        edges = edges.select(
+            F.col("src").cast("int").alias("src"),
+            F.col("dst").cast("int").alias("dst"),
+            "weight",
+        )
+    und = undirect(edges)  # both directions, deduped
     deg = degrees(und, "out")  # undirected degree = out-degree of doubled set
-    ori = orient(graph.edges, by_degree=deg if by_degree else None)
+    ori = orient(edges, by_degree=deg if by_degree else None)
     return ori.select("src", "dst"), deg
 
 
@@ -60,7 +73,11 @@ def triangle_stream(
     e2 = ori.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = ori.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     wedges = e1.join(e2, "b")
-    tri = wedges.join(e3, ["a", "c"], "left_semi").select("a", "b", "c")
+    tri = wedges.join(e3, ["a", "c"], "left_semi").select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+    )
     if by_degree:
         # degree orientation breaks id order inside triples — restore it
         tri = tri.select(
@@ -93,7 +110,8 @@ def triangle_count(
     )
     per_node_t = corners.groupBy("id").agg(F.count("*").alias("triangles"))
 
-    deg = ori_deg[1]
+    # deg may carry int-compressed ids — back to long for the node join
+    deg = ori_deg[1].select(F.col("id").cast("long").alias("id"), "degree")
     per_node = (
         graph.nodes.select("id")
         .join(per_node_t, "id", "left")

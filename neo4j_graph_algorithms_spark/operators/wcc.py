@@ -55,6 +55,8 @@ def wcc(
     parallel duplicates — min-label propagation is idempotent over
     duplicates, so dedup is purely a volume optimization anyway.
     """
+    from ..graph import compact_id_type
+
     spark = graph.edges.sparkSession
     t0 = time.time()
 
@@ -62,9 +64,20 @@ def wcc(
     if threshold is not None:
         # ref GraphUnionFind.java:82-99 — union only above-threshold edges
         edges = edges.filter(F.col("weight") >= threshold)
+    # int-id compression (shared Heavy-vs-Huge analogue): component
+    # labels are node ids, so both the edge tuples AND the label frame
+    # shrink when every id — including isolated nodes — fits int32
+    id_t = "int" if (
+        compact_id_type(edges) == "int"
+        and compact_id_type(graph.nodes, ("id",)) == "int"
+    ) else "long"
     sym = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        edges.select(F.col("src").cast(id_t).alias("src"), F.col("dst").cast(id_t).alias("dst"))
+        .unionByName(
+            edges.select(
+                F.col("dst").cast(id_t).alias("src"), F.col("src").cast(id_t).alias("dst")
+            )
+        )
         .filter(F.col("src") != F.col("dst"))
     )
     if not assume_deduped:
@@ -72,7 +85,9 @@ def wcc(
     sym = sym.persist()
     sym.count()
 
-    comp = graph.nodes.select("id", F.col("id").alias("component"))
+    comp = graph.nodes.select(
+        F.col("id").cast(id_t).alias("id"), F.col("id").cast(id_t).alias("component")
+    )
     cache = IterationCache(spark, checkpoint_dir, checkpoint_every)
     comp = cache.step(comp, 0)
 
@@ -130,6 +145,10 @@ def wcc(
         "computeMillis": int((time.time() - t0) * 1000),
     }
     sym.unpersist()
+    comp = comp.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
     return comp, stats
 
 

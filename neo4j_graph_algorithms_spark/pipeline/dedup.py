@@ -149,6 +149,37 @@ def minhash_signatures(
     return shingled.mapInPandas(sign, "id long, signature array<long>")
 
 
+def _cap_hot_buckets(
+    bucketed: DataFrame, keys: list[str], max_bucket_df: int | None
+) -> DataFrame:
+    """Drop LSH buckets whose membership exceeds ``max_bucket_df``.
+
+    A web-scale corpus is guaranteed to contain giant near-dup clusters
+    (boilerplate, licenses): one (band, bucket) with 10⁶ members puts
+    10¹² rows in the candidate self-join. The cap bounds every bucket's
+    pair fan-out to O(max_bucket_df²); dropped buckets are counted and
+    logged (members of a dropped mega-cluster are exactly the docs that
+    exact/sha dedup already catches). Same precedent as
+    ``ngram_jaccard_pairs``'s ``max_shingle_df``."""
+    if max_bucket_df is None:
+        return bucketed
+    import logging
+
+    counts = bucketed.groupBy(*keys).agg(F.count("*").alias("_df")).persist()
+    dropped = counts.filter(F.col("_df") > max_bucket_df).count()
+    if dropped:
+        logging.getLogger(__name__).warning(
+            "LSH: dropping %d hot buckets (> %d members) from candidate "
+            "generation — their pairs are not emitted",
+            dropped, max_bucket_df,
+        )
+    out = bucketed.join(
+        counts.filter(F.col("_df") <= max_bucket_df).select(*keys), keys, "left_semi"
+    ).localCheckpoint(eager=True)
+    counts.unpersist()
+    return out
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -158,6 +189,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.8,
     seed: int = 42,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard_est) whose estimated
     Jaccard (signature agreement rate) ≥ threshold.
@@ -166,11 +198,18 @@ def minhash_lsh_pairs(
     rows; docs sharing any band bucket become candidates; candidates
     are scored by full-signature agreement (the unbiased Jaccard
     estimator) — exact verification is `ngram_jaccard_pairs`.
+
+    Scale shape: the (band, bucket) self-join carries ONLY ids — the
+    128-long signature arrays (~1 KB/row) never enter the candidate
+    shuffle or the pair `distinct()`; signatures are re-joined from the
+    cached signature table once per side for scoring, after the id-pair
+    dedup collapsed the per-band multiplicity. ``max_bucket_df`` caps
+    degenerate buckets (see `_cap_hot_buckets`).
     """
     r = num_hashes // bands
     sigs = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_k, seed).persist()
     banded = sigs.select(
-        "id", "signature",
+        "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -180,24 +219,70 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "signature", "bb.band", "bb.bucket")
-    left = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
-    right = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    ).select("id", "bb.band", "bb.bucket")
+    banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_df)
+    left = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    right = banded.select("band", "bucket", F.col("id").alias("id_b"))
     cands = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    scored = cands.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a")), "id_a"
+    ).join(
+        sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b")), "id_b"
     )
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     )
-    out = cands.select(
+    out = scored.select(
         "id_a", "id_b", (agree / F.lit(num_hashes)).alias("jaccard_est")
     ).filter(F.col("jaccard_est") >= threshold)
+    # materialize, then release the signature cache: pipeline calls must
+    # not leak persisted frames into a long-lived session (the pair list
+    # is the small end of the funnel — eager evaluation here is cheap)
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
     return out
+
+
+def _simhash_batch(hash_lists):
+    """SimHash signatures for one Arrow batch: list-of-arrays of shingle
+    hashes → (n_docs,) int64 vector. Pure batch-level numpy — the only
+    Python loop is over the 64 bit positions, each pass a vectorized
+    sweep over every shingle hash in the batch followed by a segment sum
+    (`np.add.reduceat`) per document; memory stays O(batch hashes), no
+    (hashes × 64) matrix is materialized."""
+    import numpy as np
+
+    n_docs = len(hash_lists)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    lens = np.fromiter((len(h) for h in hash_lists), count=n_docs, dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return out.view(np.int64)
+    flat = np.concatenate(
+        [np.asarray(h, dtype=np.int64) for h in hash_lists]
+    ).view(np.uint64)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    nonempty = lens > 0
+    ne_starts = starts[nonempty]
+    ne_lens = lens[nonempty]
+    sig = np.zeros(len(ne_starts), dtype=np.uint64)
+    one = np.uint64(1)
+    for b in range(64):
+        bit = ((flat >> np.uint64(b)) & one).astype(np.int64)
+        counts = np.add.reduceat(bit, ne_starts)
+        # majority vote: bit b of the signature is 1 iff more than half
+        # of the doc's shingle hashes have bit b set
+        sig |= (counts * 2 > ne_lens).astype(np.uint64) << np.uint64(b)
+    out[nonempty] = sig
+    return out.view(np.int64)
 
 
 def simhash64(
@@ -206,10 +291,8 @@ def simhash64(
     id_col: str = "doc_id",
     shingle_k: int = 4,
 ) -> DataFrame:
-    """(id, simhash: long) — 64-bit SimHash over shingle hashes,
-    computed with a numpy bit-matrix per Arrow batch."""
-    import numpy as np
-
+    """(id, simhash: long) — 64-bit SimHash over shingle hashes; one
+    batch-level numpy pass per Arrow batch (no per-document Python)."""
     shingled = docs.select(
         F.col(id_col).alias("id"),
         F.transform(_shingle_col(text_col, shingle_k), lambda s: F.xxhash64(s)).alias("hashes"),
@@ -219,16 +302,8 @@ def simhash64(
         import pandas as pd
 
         for pdf in batches:
-            ids, sigs = [], []
-            for i, hs in zip(pdf["id"], pdf["hashes"]):
-                h = np.asarray(hs, dtype=np.int64).view(np.uint64)
-                if len(h) == 0:
-                    ids.append(i); sigs.append(0); continue
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-                counts = bits.sum(axis=0)
-                sig = ((counts * 2 > len(h)).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
-                ids.append(i); sigs.append(int(np.int64(np.uint64(sig))))
-            yield pd.DataFrame({"id": ids, "simhash": sigs})
+            sig = _simhash_batch(list(pdf["hashes"]))
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "simhash": sig})
 
     return shingled.mapInPandas(sim, "id long, simhash long")
 
@@ -239,13 +314,15 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_distance: int = 3,
     shingle_k: int = 4,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) ≤ max_distance.
 
     Pigeonhole bucketing: with 4 16-bit chunks, any pair within
     distance ≤ 3 shares at least one exact chunk → 4 equi-joins instead
     of an n² scan (requires max_distance ≤ 3 for exactness; larger
-    distances need more/smaller chunks)."""
+    distances need more/smaller chunks). ``max_bucket_df`` caps
+    degenerate (chunk, val) buckets — see `_cap_hot_buckets`."""
     sigs = simhash64(docs, text_col, id_col, shingle_k).persist()
     # per-chunk value shifts by 16·chunk — SQL expr since the shift
     # amount is itself an expression
@@ -253,6 +330,7 @@ def simhash_near_pairs(
         "id", "simhash",
         "explode(transform(sequence(0, 3), c -> struct(c as chunk, (shiftright(simhash, cast(c*16 as int)) & 65535) as val))) as x",
     ).select("id", "simhash", "x.chunk", "x.val")
+    chunks = _cap_hot_buckets(chunks, ["chunk", "val"], max_bucket_df)
     left = chunks.select("chunk", "val", F.col("id").alias("id_a"), F.col("simhash").alias("s_a"))
     right = chunks.select("chunk", "val", F.col("id").alias("id_b"), F.col("simhash").alias("s_b"))
     cands = (
@@ -262,9 +340,12 @@ def simhash_near_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
-    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
+    out = cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_distance
     )
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -312,4 +393,6 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    out = out.localCheckpoint(eager=True)
+    shingles.unpersist()
     return out

@@ -124,7 +124,13 @@ def distributed_rank(
         .withColumn("_bkt", F.spark_partition_id())
     )
     w_in = Window.partitionBy("_bkt").orderBy(col)
-    ranked = bucketed.withColumn("_r_in", F.row_number().over(w_in) - 1).persist()
+    # localCheckpoint (not persist): the two consumers below read the
+    # materialized RDD, and its blocks are released by the context
+    # cleaner once the caller drops the result — a bare persist() here
+    # leaked a cached frame per densify_ids/source-numbering call
+    ranked = bucketed.withColumn("_r_in", F.row_number().over(w_in) - 1).localCheckpoint(
+        eager=True
+    )
     bases = (
         ranked.groupBy("_bkt")
         .agg(F.count("*").alias("_cnt"))
