@@ -72,16 +72,30 @@ def streaming_event_counts(
 class IncrementalWCC:
     """foreachBatch sink maintaining (id, component) across micro-batches.
 
-    State lives in `state_dir` as parquet PARTITIONED BY a hash bucket
-    of the node id (the Iceberg-table stand-in; Iceberg would make this
-    a `bucket(id)` partition spec + MERGE). Per batch: load state,
-    attach known components to the new edges' endpoints, run the
-    min-label fixpoint over the UNION of new edges and one star edge
-    per already-known member of a touched component — so compute scales
-    with the affected region — and then rewrite ONLY the bucket
-    partitions that contain relabeled rows (dynamic partition
-    overwrite). Batch I/O is O(affected buckets), never the O(V)
-    whole-table rewrite.
+    State lives in `state_dir/components` as VERSIONED parquet bucket
+    files plus a MANIFEST — a miniature of Iceberg's snapshot commit
+    (which is what the 100 TB deployment would use: `bucket(id)`
+    partition spec + MERGE, one atomic snapshot swap per batch):
+
+    - data: ``bucket={b}/v{batch_id}/part-*.parquet`` — each batch
+      writes NEW files for the buckets it touches, never in place;
+    - commit: ``manifest.json`` maps every bucket to its current
+      version directory and is replaced atomically (``os.replace``).
+
+    A reader (or a replay after a crash) therefore always sees one
+    consistent snapshot: a failure anywhere before the manifest swap
+    leaves the previous snapshot fully intact — the earlier
+    dynamic-partition-overwrite scheme could die mid-write and leave a
+    mix of old and new buckets, after which touched-component detection
+    read half-relabeled rows and stranded the rest of the component.
+
+    Per batch: attach known components to the new edges' endpoints, run
+    the min-label fixpoint over the UNION of new edges and one star
+    edge per member of a touched component — compute scales with the
+    affected region — and rewrite only the touched buckets' files.
+    Batch I/O is O(affected buckets), never an O(V) whole-table
+    rewrite; unaffected buckets keep their existing files byte-for-byte
+    (the manifest entry simply carries over).
     """
 
     def __init__(self, spark: SparkSession, state_dir: str, n_buckets: int = 64):
@@ -89,21 +103,48 @@ class IncrementalWCC:
         self.state_dir = state_dir
         self.n_buckets = n_buckets
         self.path = os.path.join(state_dir, "components")
+        self.manifest_path = os.path.join(self.path, "manifest.json")
+
+    # -------------------------------------------------- snapshot plumbing
+
+    def _read_manifest(self) -> dict[str, str] | None:
+        """bucket(str) → current version dir, relative to self.path."""
+        import json
+
+        if not os.path.exists(self.manifest_path):
+            return None
+        with open(self.manifest_path) as fh:
+            return json.load(fh)["buckets"]
+
+    def _commit_manifest(self, buckets: dict[str, str]) -> None:
+        import json
+
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"buckets": buckets, "n_buckets": self.n_buckets}, fh)
+        os.replace(tmp, self.manifest_path)  # the atomic commit point
 
     def _load_state(self) -> DataFrame | None:
-        if os.path.exists(self.path):
-            return self.spark.read.parquet(self.path)
-        return None
+        manifest = self._read_manifest()
+        if not manifest:
+            return None
+        paths = [os.path.join(self.path, rel) for rel in manifest.values()]
+        return self.spark.read.parquet(*paths)
 
     def _bucketed(self, df: DataFrame) -> DataFrame:
+        # bucket is a pure function of id — recomputed on read, never
+        # stored, so version dirs are readable standalone
         return df.withColumn(
             "bucket", F.pmod(F.xxhash64("id"), F.lit(self.n_buckets))
         )
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        import shutil
+
         from ..graph import Graph
         from ..operators.wcc import wcc
 
+        manifest = self._read_manifest() or {}
         state = self._load_state()
         new_edges = batch.select("src", "dst").distinct()
         if state is not None:
@@ -125,28 +166,56 @@ class IncrementalWCC:
         g = Graph.from_edges(work_edges.withColumn("weight", F.lit(1.0)), weight="weight")
         comp, _ = wcc(g)
         # `comp` covers every row whose assignment may have changed (new
-        # nodes + all members of touched components); rows in other
-        # buckets are untouched by construction and never rewritten
-        updated = self._bucketed(comp)
-        if state is None:
-            updated.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
-            return
-        buckets = [r["bucket"] for r in updated.select("bucket").distinct().collect()]
-        # rebuild only affected buckets: surviving old rows + updates;
-        # the bucket filter prunes the state scan to those partitions
-        keep = state.filter(F.col("bucket").isin(buckets)).join(
-            updated.select("id"), "id", "left_anti"
+        # nodes + all members of touched components); other buckets'
+        # files are untouched by construction and carry over verbatim
+        updated = self._bucketed(comp).localCheckpoint(eager=True)
+        affected = sorted(
+            r["bucket"] for r in updated.select("bucket").distinct().collect()
         )
-        replacement = keep.unionByName(updated).localCheckpoint(eager=True)
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            # dynamic mode replaces ONLY the bucket= partitions present
-            # in `replacement` (materialized above, so the concurrent
-            # read-own-path hazard is gone)
-            replacement.write.mode("overwrite").partitionBy("bucket").parquet(self.path)
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # surviving old rows of ONLY the affected buckets (path-level
+        # pruning via the manifest — no filter over the full table)
+        old_paths = [
+            os.path.join(self.path, manifest[str(b)])
+            for b in affected if str(b) in manifest
+        ]
+        if old_paths:
+            keep = self._bucketed(self.spark.read.parquet(*old_paths)).join(
+                updated.select("id"), "id", "left_anti"
+            )
+            replacement = keep.unionByName(updated)
+        else:
+            replacement = updated
+
+        staging = os.path.join(self.path, f"_staging_{batch_id}")
+        if os.path.exists(staging):  # crashed earlier attempt of this batch
+            shutil.rmtree(staging)
+        replacement.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+
+        # version dirs carry a uniquifier so a replay of the same batch
+        # never collides with (and never deletes) a dir the committed
+        # manifest still references
+        import uuid
+
+        token = uuid.uuid4().hex[:8]
+        new_manifest = dict(manifest)
+        for b in affected:
+            src = os.path.join(staging, f"bucket={b}")
+            rel = os.path.join(f"bucket={b}", f"v{batch_id}_{token}")
+            dst = os.path.join(self.path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            new_manifest[str(b)] = rel
+        self._commit_manifest(new_manifest)
+        # post-commit GC (best-effort): staging plus every version dir
+        # of an affected bucket that the committed manifest no longer
+        # references (superseded versions AND crashed-attempt orphans)
+        shutil.rmtree(staging, ignore_errors=True)
+        for b in affected:
+            bdir = os.path.join(self.path, f"bucket={b}")
+            current = os.path.basename(new_manifest[str(b)])
+            for v in os.listdir(bdir):
+                if v != current:
+                    shutil.rmtree(os.path.join(bdir, v), ignore_errors=True)
 
     def start(self, edge_stream: DataFrame, checkpoint: str | None = None):
         q = (

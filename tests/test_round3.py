@@ -213,3 +213,50 @@ def test_betweenness_rejects_unknown_strategy_without_sample(spark):
     g = _line_plus_fan(spark)
     with pytest.raises(ValueError, match="strategy"):
         betweenness(g, strategy="degre")  # typo must raise, sample or not
+
+
+# --------------------------------------------- streaming state atomicity
+
+def test_incremental_wcc_crash_mid_write_keeps_snapshot(spark, tmp_path):
+    """A failure before the manifest swap must leave the previous
+    snapshot fully readable, and a replay must reconverge."""
+    import os
+    import shutil
+
+    from neo4j_graph_algorithms_spark.streaming.ingest import IncrementalWCC
+
+    state_dir = str(tmp_path / "wcc_state")
+    sink = IncrementalWCC(spark, state_dir, n_buckets=8)
+
+    b1 = spark.createDataFrame([(0, 1), (2, 3)], "src long, dst long")
+    sink.process_batch(b1, 0)
+    before = {r["id"]: r["component"] for r in sink.components().collect()}
+    assert before[0] == before[1] and before[2] == before[3]
+    manifest_before = sink._read_manifest()
+
+    # simulate a crash DURING batch 1: new version dirs + staging exist
+    # on disk but the manifest swap never happened
+    junk_dir = os.path.join(sink.path, "bucket=0", "v1_deadbeef")
+    os.makedirs(junk_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(99, -1)], "id long, component long"
+    ).coalesce(1).write.mode("overwrite").parquet(junk_dir)
+    os.makedirs(os.path.join(sink.path, "_staging_1"), exist_ok=True)
+
+    # reader still sees the committed snapshot only
+    assert sink._read_manifest() == manifest_before
+    mid = {r["id"]: r["component"] for r in sink.components().collect()}
+    assert mid == before and 99 not in mid
+
+    # replay of the batch reconverges and merges correctly
+    b2 = spark.createDataFrame([(1, 2)], "src long, dst long")
+    sink.process_batch(b2, 1)
+    after = {r["id"]: r["component"] for r in sink.components().collect()}
+    assert after[0] == after[1] == after[2] == after[3]
+    assert 99 not in after
+
+    # post-commit GC removed the orphaned crash debris for touched buckets
+    assert not os.path.exists(os.path.join(sink.path, "_staging_1"))
+    for b, rel in sink._read_manifest().items():
+        bdir = os.path.join(sink.path, f"bucket={b}")
+        assert sorted(os.listdir(bdir)) == [os.path.basename(rel)]
