@@ -285,6 +285,96 @@ ORDER BY id"""
     )
 
 
+def _sql_betweenness_unrolled(max_depth: int) -> str:
+    """Depth-bounded Brandes, fully unrolled: forward BFS levels carry
+    shortest-path counts σ (f_k), the backward pass pulls
+    δ(v) = Σ_w σv/σw·(1+δw) from depth-(k+1) successors (d_k) — the
+    exact recurrence of operators/betweenness.py::_brandes_wave.
+    Centralities are rounded to 3 decimals: δ sums are order-dependent
+    float accumulations (unlike the integer farness sums), so a 1e-6
+    comparison would sit on the rounding boundary."""
+    parts = [
+        "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",",
+        "f0 AS (SELECT doc_id AS source, doc_id AS node, 1.0 AS sigma FROM documents),",
+        "c0 AS (SELECT source, node FROM f0),",
+    ]
+    for k in range(1, max_depth + 1):
+        parts.append(
+            f"f{k} AS MATERIALIZED (SELECT f.source, e.dst AS node, sum(f.sigma) AS sigma "
+            f"FROM f{k - 1} f JOIN e ON e.src = f.node "
+            f"WHERE NOT EXISTS (SELECT 1 FROM c{k - 1} c "
+            f"WHERE c.source = f.source AND c.node = e.dst) "
+            f"GROUP BY f.source, e.dst),"
+        )
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT source, node FROM c{k - 1} "
+            f"UNION ALL SELECT source, node FROM f{k}),"
+        )
+    parts.append(
+        f"d{max_depth} AS MATERIALIZED "
+        f"(SELECT source, node, sigma, 0.0 AS delta FROM f{max_depth}),"
+    )
+    for d in range(max_depth, 0, -1):
+        parts.append(
+            f"ct{d} AS MATERIALIZED (SELECT w.source, e.src AS node, "
+            f"sum(pv.sigma / w.sigma * (1.0 + w.delta)) AS acc "
+            f"FROM d{d} w JOIN e ON e.dst = w.node "
+            f"JOIN f{d - 1} pv ON pv.source = w.source AND pv.node = e.src "
+            f"GROUP BY w.source, e.src),"
+        )
+        parts.append(
+            f"d{d - 1} AS MATERIALIZED (SELECT pv.source, pv.node, pv.sigma, "
+            f"coalesce(ct.acc, 0.0) AS delta FROM f{d - 1} pv "
+            f"LEFT JOIN ct{d} ct ON ct.source = pv.source AND ct.node = pv.node),"
+        )
+    # depth-0 rows are source==node and excluded (Brandes); every
+    # deeper level has source != node by construction (the source is
+    # settled at depth 0 and never rediscovered)
+    alld = " UNION ALL ".join(
+        f"SELECT node, delta FROM d{k}" for k in range(1, max_depth + 1)
+    )
+    parts.append(f"alld AS ({alld}),")
+    parts.append("bc AS (SELECT node AS id, sum(delta) AS c FROM alld GROUP BY node)")
+    parts.append(
+        "SELECT d.doc_id AS id, ROUND(coalesce(bc.c, 0.0), 3) AS centrality "
+        "FROM documents d LEFT JOIN bc ON d.doc_id = bc.id ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
+def _sql_delta_sssp_unrolled(max_id: int) -> str:
+    """Exact SSSP oracle for delta-stepping on the doc subgraph with
+    ids < `max_id`: Bellman-Ford unrolled max_id-1 rounds (≥ the
+    longest possible shortest path in a max_id-node graph, so this is
+    convergence, not a hop bound). Weights (src % 7) + 1 are small
+    integers, so distances are exact doubles on both engines."""
+    parts = [
+        "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",",
+        f"we AS MATERIALIZED (SELECT src, dst, (src % 7) + 1.0 AS w FROM e "
+        f"WHERE src < {max_id} AND dst < {max_id}),",
+        f"d0 AS (SELECT doc_id AS id, CASE WHEN doc_id = 0 THEN 0.0 "
+        f"ELSE CAST('infinity' AS DOUBLE) END AS dist FROM documents "
+        f"WHERE doc_id < {max_id}),",
+    ]
+    for k in range(1, max_id):
+        p, c = f"d{k - 1}", f"d{k}"
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT n.id, least(n.dist, "
+            f"coalesce(m.nd, CAST('infinity' AS DOUBLE))) AS dist "
+            f"FROM {p} n LEFT JOIN ("
+            f"SELECT we.dst AS id, min(r.dist + we.w) AS nd "
+            f"FROM we JOIN {p} r ON we.src = r.id "
+            f"WHERE r.dist < CAST('infinity' AS DOUBLE) GROUP BY we.dst"
+            f") m ON n.id = m.id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id, ROUND(dist, {ROUND}) AS distance FROM d{max_id - 1} "
+        "WHERE dist < CAST('infinity' AS DOUBLE) ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
 def _sql_louvain_unrolled(iterations: int) -> str:
     """Single-level Louvain, unrolled: per half-step, per node, the
     neighbor community with max modularity gain
@@ -690,6 +780,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("centrality"),
         )
 
+    def q_betweenness_hops4(spark, sf):
+        # depth-4-bounded exact Brandes betweenness (OUT direction) —
+        # the `algo.betweenness` maxDepth surface
+        # (MaxDepthBetweennessCentrality.java:125-145), oracle-checked
+        # against the fully-unrolled forward/backward recurrence in SQL
+        from neo4j_graph_algorithms_spark.operators.betweenness import betweenness
+
+        g = _doc_graph(spark, sf)
+        bc, _ = betweenness(g, direction="out", max_depth=4)
+        # 3 decimals: δ sums are order-dependent float accumulations —
+        # see _sql_betweenness_unrolled
+        return bc.select("id", F.round("centrality", 3).alias("centrality"))
+
+    def q_delta_sssp64(spark, sf):
+        # delta-stepping run to CONVERGENCE (no hop bound) on the doc
+        # subgraph with ids < 64 — small enough that the SQL oracle's
+        # 63-round Bellman-Ford is provably converged, so this checks
+        # the bucketed scheduler end-to-end, not a truncation of it
+        from neo4j_graph_algorithms_spark.graph import Graph
+        from neo4j_graph_algorithms_spark.operators.shortest_path import (
+            INF,
+            delta_stepping,
+        )
+
+        edges = (
+            _doc_link_rows(spark, sf).select("src", "dst").distinct()
+            .filter((F.col("src") < 64) & (F.col("dst") < 64))
+            .withColumn("weight", (F.pmod("src", F.lit(7)) + 1).cast("double"))
+        )
+        nodes = (
+            _read(spark, sf, "documents")
+            .select(F.col("doc_id").alias("id"))
+            .filter(F.col("id") < 64)
+        )
+        g = Graph.from_edges(edges, nodes=nodes, weight="weight")
+        dist, _ = delta_stepping(g, source=0, delta=3.0)
+        return dist.filter(F.col("distance") < INF).select(
+            "id", F.round("distance", ROUND).alias("distance")
+        )
+
     def q_events_hourly(spark, sf):
         ev = _read(spark, sf, "events")
         return ev.groupBy(
@@ -725,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain": q_louvain,
         "closeness_hops4": q_closeness_hops4,
         "harmonic_hops4": q_harmonic_hops4,
+        "betweenness_hops4": q_betweenness_hops4,
+        "delta_sssp64": q_delta_sssp64,
         "events_hourly": q_events_hourly,
     }
 
@@ -810,6 +942,8 @@ SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM j WHERE jac >= 0.85""",
         "louvain": _sql_louvain_unrolled(1),
         "closeness_hops4": _sql_closeness_unrolled(4),
         "harmonic_hops4": _sql_harmonic_unrolled(4),
+        "betweenness_hops4": _sql_betweenness_unrolled(4),
+        "delta_sssp64": _sql_delta_sssp_unrolled(64),
         "events_hourly": f"""
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events, ROUND(sum(value), {ROUND}) AS sum_value

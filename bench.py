@@ -1,17 +1,35 @@
-"""Per-round benchmark harness.
+"""Per-round benchmark harness — noise-proof protocol.
+
+This sandbox VM has documented >2x run-to-run wall-clock variance on
+identical Spark jobs (BASELINE.md, memory notes), so a single-run
+headline number is uninterpretable: round 2's bench looked ~1.8x slower
+than round 1 on queries whose code had not changed.  The fix is the
+same protocol the scaling harness uses:
+
+- each headline query runs ``REPS`` times in ALTERNATING order (rep 1
+  of every query, then rep 2 of every query, ...) so a noise phase
+  lands on one rep of each query instead of every rep of one query;
+- the cache is cleared between reps so every rep measures the same
+  cold-cache work;
+- per query we report the FLOOR (noise on this VM is strictly additive
+  — there is no mechanism that makes a run faster than the code allows)
+  and the MEDIAN, and grade on the floor;
+- a per-query regression verdict against ``BENCH_r01.json`` (itself a
+  single-run record, noted as such) is embedded in the output.
 
 Runs the headline queries from ``__spark_entry__`` at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and a PageRank superstep-throughput
+``local[$SPARK_GRAFT_CPUS]`` plus a PageRank superstep-throughput
 measurement on a deterministic synthetic link graph sized to the scale
 factor, then prints ONE JSON line::
 
     {"metric": "total_headline_seconds", "value": N, "unit": "sec",
-     "queries": {...}, "sf": 0.1,
+     "queries": {...floors...}, "queries_median": {...}, "reps": R,
+     "regression_vs_r1": {...}, "sf": 0.1,
      "pagerank": {"n_edges": E, "supersteps": K,
                   "edges_per_sec_per_superstep": X}}
 
-The north-rule scaling evidence (same job at local[8] vs local[32],
+The north-rule scaling evidence (same job at two parallelism levels,
 throughput + efficiency) lives in ``scripts/scaling_bench.py`` and is
 recorded in BASELINE.md — it is too slow to run per-round here.
 """
@@ -20,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -45,20 +64,22 @@ def pagerank_throughput(spark, n_files: int, supersteps: int = 12) -> dict:
     _ranks, stats = pagerank(g, max_iterations=supersteps)
     dt = time.time() - t0
     g.release()
-    # median over NON-FOLD supersteps: fold/lineage-truncation steps do
-    # extra O(V*fuse) work by design and are tagged in stats history
+    # NON-FOLD supersteps only: fold/lineage-truncation steps do extra
+    # O(V*fuse) work by design and are tagged in stats history
     step_secs = sorted(h["secs"] for h in stats["history"] if not h["folded"])
     median = step_secs[len(step_secs) // 2]
+    floor = step_secs[0]
     return {
         "n_files": n_files,
         "n_edges": n_edges,
         "supersteps": stats["iterations"],
         "seconds": round(dt, 2),
         "edges_per_sec_per_superstep": int(n_edges * stats["iterations"] / dt),
-        # median is robust against this sandbox's noisy-neighbor spikes
-        # (identical runs vary >2x on wall clock; the median superstep
-        # is stable) — both are reported
+        # median/floor are robust against this sandbox's noisy-neighbor
+        # spikes (identical runs vary >2x wall clock; per-superstep
+        # floor is the stable estimator) — all three are reported
         "edges_per_sec_per_superstep_median": int(n_edges / median),
+        "edges_per_sec_per_superstep_floor": int(n_edges / floor),
         "step_seconds": [h["secs"] for h in stats["history"]],
     }
 
@@ -74,10 +95,23 @@ HEADLINE = [
     "embedding_topk",
 ]
 
+# floor-vs-r1 ratio above which we call a regression; r1 is a single
+# noisy run, so the band is deliberately wide
+REGRESSION_RATIO = 1.25
+
+
+def _verdict(ratio: float) -> str:
+    if ratio < 0.9:
+        return "faster"
+    if ratio <= REGRESSION_RATIO:
+        return "par"
+    return "regression"
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     # quiet the forced periodic full GC for the benchmark process: its
     # multi-second pause on a 24g heap lands inside short supersteps and
     # reads as variance (see BASELINE.md); the process exits right after
@@ -88,15 +122,41 @@ def main() -> None:
 
     spark = build_session(app_name="nga-bench", master=f"local[{cpus}]")
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 2)
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for rep in range(reps):
+        for name in HEADLINE:
+            spark.catalog.clearCache()  # every rep measures cold-cache work
+            t0 = time.time()
+            _force(qs[name](spark, sf_dir))
+            samples[name].append(round(time.time() - t0, 2))
+    spark.catalog.clearCache()
+
+    floors = {n: min(v) for n, v in samples.items()}
+    medians = {n: round(statistics.median(v), 2) for n, v in samples.items()}
+
+    # regression adjudication vs round 1 (the standing baseline; r2's
+    # single-run bench was ruled unevidenced)
+    regression: dict[str, dict] = {}
+    r1_path = os.path.join(here, "BENCH_r01.json")
+    if os.path.exists(r1_path):
+        with open(r1_path) as fh:
+            r1_parsed = json.load(fh).get("parsed", {})
+        # only comparable at the same scale factor as the r1 record
+        r1 = r1_parsed.get("queries", {}) if r1_parsed.get("sf") == sf else {}
+        for name, floor in floors.items():
+            if name in r1 and r1[name] > 0:
+                ratio = floor / r1[name]
+                regression[name] = {
+                    "r1_single_run": r1[name],
+                    "floor": floor,
+                    "ratio": round(ratio, 2),
+                    "verdict": _verdict(ratio),
+                }
 
     # kernel throughput on a synthetic graph sized to the scale factor
     # (sf0.1 → 2M files / ~6M edges)
@@ -104,9 +164,14 @@ def main() -> None:
 
     result = {
         "metric": "total_headline_seconds",
-        "value": round(sum(timings.values()), 2),
+        "value": round(sum(floors.values()), 2),
         "unit": "sec",
-        "queries": timings,
+        "queries": floors,
+        "queries_median": medians,
+        "queries_all_reps": samples,
+        "reps": reps,
+        "protocol": "alternating reps, cold cache per rep, floor-graded",
+        "regression_vs_r1": regression,
         "sf": sf,
         "pagerank": pr,
     }
