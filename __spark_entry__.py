@@ -780,6 +780,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("centrality"),
         )
 
+    def q_embedding_dup_pairs(spark, sf):
+        # embedding-cosine near-dup pairs, exact method (the
+        # verification baseline; the LSH scale path is differential-
+        # tested against it in tests/test_round3.py)
+        from neo4j_graph_algorithms_spark.pipeline.similarity import (
+            embedding_near_pairs,
+        )
+
+        emb = _read(spark, sf, "embeddings")
+        out = embedding_near_pairs(emb, threshold=0.45, method="exact")
+        return out.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+
     def q_betweenness_hops4(spark, sf):
         # depth-4-bounded exact Brandes betweenness (OUT direction) —
         # the `algo.betweenness` maxDepth surface
@@ -857,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_hops4": q_harmonic_hops4,
         "betweenness_hops4": q_betweenness_hops4,
         "delta_sssp64": q_delta_sssp64,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "events_hourly": q_events_hourly,
     }
 
@@ -944,6 +957,14 @@ SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM j WHERE jac >= 0.85""",
         "harmonic_hops4": _sql_harmonic_unrolled(4),
         "betweenness_hops4": _sql_betweenness_unrolled(4),
         "delta_sssp64": _sql_delta_sssp_unrolled(64),
+        "embedding_dup_pairs": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v) /
+         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS s
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(s, 4) AS sim FROM p WHERE s >= 0.45 ORDER BY id_a, id_b""",
         "events_hourly": f"""
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events, ROUND(sum(value), {ROUND}) AS sum_value

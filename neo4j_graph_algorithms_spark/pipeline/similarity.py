@@ -207,3 +207,71 @@ def ivf_cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    n_tables: int = 8,
+    n_bits: int = 8,
+    seed: int = 42,
+    max_bucket_df: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, sim >= threshold).
+
+    The embedding-space member of the dedup family (exact sha /
+    MinHash / SimHash / n-gram Jaccard live in ``pipeline.dedup``):
+
+    - ``method="exact"`` — all-pairs cosine, the O(N^2) verification
+      baseline (SQL-oracle-checkable); right only when N is small or
+      as the ground truth for recall tests.
+    - ``method="lsh"`` — the scale path: hyperplane sign-bit
+      signatures (one numpy matmul per Arrow batch), candidates from
+      per-table (table, bucket) self-joins carrying IDS ONLY, exact
+      cosine re-rank of the deduped candidate pairs. Recall < 1 by
+      construction and grows with ``n_tables``; differential-tested
+      against exact. ``max_bucket_df`` caps hot buckets (giant
+      near-dup clusters) exactly like the MinHash/SimHash paths.
+    """
+    import numpy as np
+
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if method == "exact":
+        a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        sims = pairs.select(
+            "id_a", "id_b",
+            (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("sim"),
+        )
+        return sims.filter(F.col("sim") >= threshold)
+    if method != "lsh":
+        raise ValueError(f"unknown method: {method!r}")
+
+    from .dedup import _cap_hot_buckets
+
+    dim = len(df.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_tables, n_bits, dim))
+    sigs = _signatures(df, id_col, vec_col, planes, "s")
+    sigs = _cap_hot_buckets(sigs, ["table", "bucket"], max_bucket_df)
+    left = sigs.select("table", "bucket", F.col("id").alias("id_a"))
+    right = sigs.select("table", "bucket", F.col("id").alias("id_b"))
+    cands = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sims = cands.join(va, "id_a").join(vb, "id_b").select(
+        "id_a", "id_b",
+        (_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("sim"),
+    )
+    return sims.filter(F.col("sim") >= threshold)

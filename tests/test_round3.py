@@ -260,3 +260,52 @@ def test_incremental_wcc_crash_mid_write_keeps_snapshot(spark, tmp_path):
     for b, rel in sink._read_manifest().items():
         bdir = os.path.join(sink.path, f"bucket={b}")
         assert sorted(os.listdir(bdir)) == [os.path.basename(rel)]
+
+
+# -------------------------------------------- embedding-cosine near-dup
+
+def test_embedding_near_pairs_exact_and_lsh(spark):
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.pipeline.similarity import (
+        embedding_near_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(30, 16))
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    # ids 100..104 are near-copies of 0..4 (tiny perturbation): the
+    # five planted near-dup pairs any method must find
+    rows += [(100 + i, (base[i] + rng.normal(scale=0.01, size=16)).tolist())
+             for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted = {(i, 100 + i) for i in range(5)}
+
+    exact = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in embedding_near_pairs(emb, threshold=0.95, method="exact").collect()}
+    assert set(exact) == planted
+    assert all(s > 0.99 for s in exact.values())
+
+    lsh = {(r["id_a"], r["id_b"]): r["sim"]
+           for r in embedding_near_pairs(
+               emb, threshold=0.95, method="lsh", n_tables=10, n_bits=6).collect()}
+    # LSH is a recall<=1 subset of exact with identical sims
+    assert set(lsh) <= set(exact)
+    assert len(lsh) >= 4  # >= 80% recall on the planted pairs
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-9
+
+    # hot-bucket cap: 50 identical vectors -> every (table, bucket)
+    # they share exceeds the cap -> their pairs are suppressed
+    clones = spark.createDataFrame(
+        [(i, base[0].tolist()) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    capped = embedding_near_pairs(
+        clones, threshold=0.95, method="lsh", n_tables=4, n_bits=6,
+        max_bucket_df=10,
+    )
+    assert capped.count() == 0
+
+    with pytest.raises(ValueError, match="method"):
+        embedding_near_pairs(emb, method="bogus")
