@@ -48,9 +48,17 @@ def label_propagation(
     node_weight_col: str | None = "weight",
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    resume: bool = False,
     termination=None,
 ) -> tuple[DataFrame, dict]:
-    """Returns (labels(id, label), stats with ranIterations/didConverge)."""
+    """Returns (labels(id, label), stats with ranIterations/didConverge).
+
+    ``resume=True`` (with a durable ``checkpoint_dir``) continues from
+    the latest complete snapshot — synchronous LPA's state is exactly
+    the label frame, so restarting from superstep k's labels replays
+    supersteps k+1.. identically (deterministic argmax tie-break; same
+    north-rule "resumable" shape as `pagerank(resume=True)`).
+    """
     spark = graph.edges.sparkSession
     t0 = time.time()
     nodes = graph.nodes
@@ -111,10 +119,25 @@ def label_propagation(
         nw = nodes.select(F.col("id").cast(id_t).alias("id"), F.lit(1.0).alias("nw"))
     nw = nw.persist()
 
-    cache = IterationCache(spark, checkpoint_dir, checkpoint_every)
-    labels = cache.step(init, 0)
+    cache = IterationCache(
+        spark, checkpoint_dir, checkpoint_every,
+        collect_partition_metrics=checkpoint_dir is not None,
+    )
+    start_it = 1
+    labels = None
+    if resume and checkpoint_dir:
+        latest = cache.latest()
+        if latest is not None:
+            step, state, _meta = latest
+            labels = state.select(
+                F.col("id").cast(id_t).alias("id"),
+                F.col("label").cast(id_t).alias("label"),
+            )
+            start_it = step + 1
+    if labels is None:
+        labels = cache.step(init, 0)
 
-    ran = 0
+    ran = start_it - 1
     converged = False
     w = Window.partitionBy("node").orderBy(F.desc("vote"), F.asc("nbr_label"))
 
@@ -144,7 +167,7 @@ def label_propagation(
         )
 
     with adaptive_disabled(spark):
-        for it in range(1, iterations + 1):
+        for it in range(start_it, iterations + 1):
             check_termination(spark, termination, it)
             stepped = cache.step(half_step(half_step(labels, 0), 1), it)
             changed = (
@@ -163,6 +186,7 @@ def label_propagation(
         "ranIterations": ran,
         "didConverge": converged,
         "computeMillis": int((time.time() - t0) * 1000),
+        "history": cache.history,
     }
     e.unpersist()
     nw.unpersist()

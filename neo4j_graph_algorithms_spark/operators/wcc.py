@@ -46,6 +46,7 @@ def wcc(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     assume_deduped: bool = False,
+    resume: bool = False,
     termination=None,
 ) -> tuple[DataFrame, dict]:
     """Returns (components(id, component), stats).
@@ -54,6 +55,13 @@ def wcc(
     full O(E) shuffle) when the caller guarantees the edge table has no
     parallel duplicates — min-label propagation is idempotent over
     duplicates, so dedup is purely a volume optimization anyway.
+
+    ``resume=True`` (with a durable ``checkpoint_dir``) continues from
+    the latest complete snapshot instead of re-initializing — min-label
+    iteration is monotone in the label frame, so restarting from any
+    intermediate labeling converges to the same fixpoint (the north-rule
+    "resumable from checkpoint" contract, same shape as
+    `pagerank(resume=True)`).
     """
     from ..graph import compact_id_type
 
@@ -85,16 +93,31 @@ def wcc(
     sym = sym.persist()
     sym.count()
 
-    comp = graph.nodes.select(
-        F.col("id").cast(id_t).alias("id"), F.col("id").cast(id_t).alias("component")
+    cache = IterationCache(
+        spark, checkpoint_dir, checkpoint_every,
+        collect_partition_metrics=checkpoint_dir is not None,
     )
-    cache = IterationCache(spark, checkpoint_dir, checkpoint_every)
-    comp = cache.step(comp, 0)
+    start_it = 1
+    comp = None
+    if resume and checkpoint_dir:
+        latest = cache.latest()
+        if latest is not None:
+            step, state, _meta = latest
+            comp = state.select(
+                F.col("id").cast(id_t).alias("id"),
+                F.col("component").cast(id_t).alias("component"),
+            )
+            start_it = step + 1
+    if comp is None:
+        comp = graph.nodes.select(
+            F.col("id").cast(id_t).alias("id"), F.col("id").cast(id_t).alias("component")
+        )
+        comp = cache.step(comp, 0)
 
-    ran = 0
+    ran = start_it - 1
     converged = False
     with adaptive_disabled(spark):
-        for it in range(1, max_iterations + 1):
+        for it in range(start_it, max_iterations + 1):
             check_termination(spark, termination, it)
             # neighbor-min: every node pulls the smallest component label
             # reachable over one (undirected) hop
@@ -143,6 +166,7 @@ def wcc(
         "iterations": ran,
         "didConverge": converged,
         "computeMillis": int((time.time() - t0) * 1000),
+        "history": cache.history,
     }
     sym.unpersist()
     comp = comp.select(
