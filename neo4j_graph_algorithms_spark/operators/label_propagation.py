@@ -49,6 +49,7 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    num_partitions: int | None = None,
     termination=None,
 ) -> tuple[DataFrame, dict]:
     """Returns (labels(id, label), stats with ranIterations/didConverge).
@@ -107,7 +108,13 @@ def label_propagation(
         init = init.select(
             F.col("id").cast("int").alias("id"), F.col("label").cast("int").alias("label")
         )
-    e = e.persist()
+    # hash-partition the voting-edge table by the join key ONCE and
+    # cache (stationary-edges property, as in PageRank/WCC): each
+    # half-step's `e ⨝ labels` then shuffles only the O(V) label frame,
+    # not the O(E) edge table — 2 half-steps per iteration makes this
+    # the dominant per-superstep volume saving
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    e = e.repartition(n_parts, "nbr").persist()
     e.count()
 
     if node_weight_col is not None and node_weight_col in nodes.columns:

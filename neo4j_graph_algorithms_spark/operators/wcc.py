@@ -21,11 +21,18 @@ Semantics preserved:
 - `component_stats` = setCount / setSize aggregates
   (`DisjointSetStruct.java:224-243`)
 
-Scale shape: each round is one `edges ⨝ comp` shuffle +
-`groupBy(id).min` + one pointer-jump self-join. Neighbor-min alone
-needs O(diameter) rounds; the pointer jump (comp := comp[comp])
-compresses label chains so convergence is O(log n) rounds on path-like
-graphs — the distributed analogue of DSS path compression.
+Scale shape: the symmetric edge table is hash-partitioned by `src`
+ONCE and cached, so per round only the label frame shuffles into the
+`edges ⨝ labels` join (the stationary-edges property PageRank's loop
+relies on). Propagation is **frontier-based**: a node offers its label
+to neighbors only in the round after the label changed — every value a
+node ever holds is offered exactly once, so the fixpoint is identical
+to dense propagation (labels are monotone non-increasing), but
+per-round join volume decays from O(E) to O(edges incident to the
+shrinking frontier). Neighbor-min alone needs O(diameter) rounds; the
+pointer jump (comp := comp[comp]) compresses label chains so
+convergence is O(log n) rounds on path-like graphs — the distributed
+analogue of DSS path compression.
 """
 
 from __future__ import annotations
@@ -47,6 +54,7 @@ def wcc(
     checkpoint_every: int = 5,
     assume_deduped: bool = False,
     resume: bool = False,
+    num_partitions: int | None = None,
     termination=None,
 ) -> tuple[DataFrame, dict]:
     """Returns (components(id, component), stats).
@@ -90,7 +98,14 @@ def wcc(
     )
     if not assume_deduped:
         sym = sym.distinct()
-    sym = sym.persist()
+    # hash-partition by the join key ONCE and cache: InMemoryRelation
+    # preserves outputPartitioning, so every subsequent round's
+    # `sym ⨝ frontier` shuffles only the (shrinking) frontier frame —
+    # the O(E) side never moves again (the PageRank stationary-edges
+    # property; previously `distinct()` left sym partitioned by
+    # (src, dst), which the per-round join on `src` re-shuffled in full)
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    sym = sym.repartition(n_parts, "src").persist()
     sym.count()
 
     cache = IterationCache(
@@ -116,13 +131,19 @@ def wcc(
 
     ran = start_it - 1
     converged = False
+    # frontier = rows whose label changed last round (everyone, in
+    # round 1 / on resume). Offering from the frontier alone is exact:
+    # labels only decrease, and a node's current label was offered the
+    # round it last changed — so by induction every neighbor has seen
+    # every value (hence the min) each node ever held.
+    frontier = comp
     with adaptive_disabled(spark):
         for it in range(start_it, max_iterations + 1):
             check_termination(spark, termination, it)
-            # neighbor-min: every node pulls the smallest component label
-            # reachable over one (undirected) hop
+            # neighbor-min: every node pulls the smallest label offered
+            # by frontier neighbors over one (undirected) hop
             nbr_min = (
-                sym.join(comp.select(F.col("id").alias("src"), "component"), "src")
+                sym.join(frontier.select(F.col("id").alias("src"), "component"), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("component").alias("nbr_comp"))
             )
@@ -157,6 +178,12 @@ def wcc(
             ).collect()[0]["c"] or 0
             cache.history[-1]["changed"] = int(changed)
             comp = jumped.select("id", "component")
+            # next round's frontier: exactly the rows that changed this
+            # round (via neighbor-min OR pointer jump — `prev` predates
+            # both). Cheap filter over the just-materialized frame.
+            frontier = jumped.filter(F.col("component") != F.col("prev")).select(
+                "id", "component"
+            )
             ran = it
             if changed == 0:
                 converged = True
