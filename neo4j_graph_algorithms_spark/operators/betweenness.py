@@ -197,7 +197,18 @@ def betweenness(
         ).distinct()
     edges = edges.repartition(n_parts, "src").persist()
     edges.count()
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # dual-orientation cache: the backward-accumulation join keys on
+    # rev's `src` (= the forward `dst` column), so a mere column swap of
+    # the src-partitioned cache is physically partitioned on the WRONG
+    # key and re-shuffles O(E) at every depth level of every wave.
+    # Materializing the reversed table partitioned by its own join key
+    # costs one extra cached copy and makes the backward pass
+    # stationary too (standard push/pull dual of the CSR+CSC split).
+    rev = (
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .repartition(n_parts, "src").persist()
+    )
+    rev.count()
 
     n = graph.node_count()
     sources, scale, n_sources = _select_sources(graph, direction, sample, strategy, seed)
@@ -229,6 +240,7 @@ def betweenness(
         result.withColumnRenamed("node", "id"), "id", "left"
     ).select("id", F.coalesce("centrality", F.lit(0.0)).alias("centrality"))
     edges.unpersist()
+    rev.unpersist()
     stats = {
         "nodes": n,
         "sources": n_sources,
