@@ -41,9 +41,16 @@ def louvain(
     n_parts = spark.sparkContext.defaultParallelism
     # undirected weighted adjacency (reference loads BOTH and treats the
     # graph as undirected for modularity)
-    sym = undirect(graph.edges, dedup=True).repartition(n_parts, "src").persist()
+    # partitioned by `dst` — the key every half-round's `sym ⨝ comm`
+    # join uses (stationary-edges property: only the O(V) community
+    # frame moves per round; src-partitioning here was the wrong key
+    # and re-shuffled O(E) twice per iteration)
+    sym = undirect(graph.edges, dedup=True).repartition(n_parts, "dst").persist()
     m2 = sym.agg(F.sum("weight")).collect()[0][0] or 1.0  # == 2m
-    k = sym.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("k")).persist()
+    # sym holds both orientations, so weighted degree grouped by dst ==
+    # grouped by src — and the dst grouping reuses the cached
+    # partitioning (no exchange)
+    k = sym.groupBy(F.col("dst").alias("id")).agg(F.sum("weight").alias("k")).persist()
     k.count()
 
     comm = graph.nodes.select("id", F.col("id").alias("community"))

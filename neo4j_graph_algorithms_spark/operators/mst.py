@@ -47,6 +47,10 @@ def mst(
         )
         .groupBy("src", "dst")
         .agg(F.min("weight").alias("weight"))
+        # partitioned by `src` so each Borůvka round's first label join
+        # reuses the cached partitioning (the dst-side join relabels the
+        # already-joined O(E) frame and must shuffle either way)
+        .repartition(spark.sparkContext.defaultParallelism, "src")
         .persist()
     )
     pairs.count()
