@@ -78,10 +78,16 @@ def scc(
             if active.isEmpty():
                 converged = True
                 break
-            # edges restricted to the active set
+            # edges restricted to the active set; partitioned by `src`
+            # before the checkpoint (localCheckpoint preserves
+            # outputPartitioning) so the color-propagation fixpoint loop
+            # — the hot inner loop, one join on src per round — streams
+            # the cached sub-graph in place and shuffles only the color
+            # frame
             sub = (
                 edges_all.join(active.withColumnRenamed("id", "src"), "src", "left_semi")
                 .join(active.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                .repartition(n_parts, "src")
                 .localCheckpoint(eager=True)
             )
             # 1. trim: peel degree-0 nodes iteratively (singleton SCCs)
@@ -99,6 +105,7 @@ def scc(
                 sub = (
                     sub.join(active.withColumnRenamed("id", "src"), "src", "left_semi")
                     .join(active.withColumnRenamed("id", "dst"), "dst", "left_semi")
+                    .repartition(n_parts, "src")
                     .localCheckpoint(eager=True)
                 )
             if active.isEmpty():
