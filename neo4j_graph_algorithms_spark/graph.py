@@ -218,7 +218,7 @@ def compact_id_type(df: DataFrame, cols: tuple[str, ...] = (SRC, DST)) -> str:
     bounds = df.agg(F.max(mx_expr).alias("mx"), F.min(mn_expr).alias("mn")).collect()[0]
     max_id = bounds["mx"] or 0
     min_id = bounds["mn"] or 0
-    return "int" if (max_id < (1 << 31) - 1 and min_id >= -(1 << 31)) else "long"
+    return "int" if (max_id <= (1 << 31) - 1 and min_id >= -(1 << 31)) else "long"
 
 
 @dataclass

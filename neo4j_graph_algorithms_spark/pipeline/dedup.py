@@ -167,12 +167,15 @@ def _cap_hot_buckets(
 
     counts = bucketed.groupBy(*keys).agg(F.count("*").alias("_df")).persist()
     dropped = counts.filter(F.col("_df") > max_bucket_df).count()
-    if dropped:
-        logging.getLogger(__name__).warning(
-            "LSH: dropping %d hot buckets (> %d members) from candidate "
-            "generation — their pairs are not emitted",
-            dropped, max_bucket_df,
-        )
+    if dropped == 0:
+        # healthy corpus — skip the semi-join and full materialization
+        counts.unpersist()
+        return bucketed
+    logging.getLogger(__name__).warning(
+        "LSH: dropping %d hot buckets (> %d members) from candidate "
+        "generation — their pairs are not emitted",
+        dropped, max_bucket_df,
+    )
     out = bucketed.join(
         counts.filter(F.col("_df") <= max_bucket_df).select(*keys), keys, "left_semi"
     ).localCheckpoint(eager=True)

@@ -235,12 +235,18 @@ def embedding_near_pairs(
       construction and grows with ``n_tables``; differential-tested
       against exact. ``max_bucket_df`` caps hot buckets (giant
       near-dup clusters) exactly like the MinHash/SimHash paths.
+
+    Null and zero-norm embeddings are excluded up front: cosine is
+    undefined for them (0/0 → NaN, which Spark's NaN ordering would
+    pass through `sim >= threshold`), and in LSH mode every zero
+    vector lands in the same all-zero-sign bucket of every table,
+    manufacturing N² garbage candidates.
     """
     import numpy as np
 
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).filter(F.col("v").isNotNull() & (_norm(F.col("v")) > 0))
     if method == "exact":
         a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
         b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
@@ -255,19 +261,29 @@ def embedding_near_pairs(
 
     from .dedup import _cap_hot_buckets
 
-    dim = len(df.select(vec_col).first()[0])
+    first = vecs.select("v").first()
+    if first is None:  # empty (or all-null/zero) input — no pairs
+        return vecs.select(
+            F.col("id").alias("id_a"), F.col("id").alias("id_b"), F.lit(0.0).alias("sim")
+        ).limit(0)
+    dim = len(first[0])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_tables, n_bits, dim))
-    sigs = _signatures(df, id_col, vec_col, planes, "s")
-    sigs = _cap_hot_buckets(sigs, ["table", "bucket"], max_bucket_df)
-    left = sigs.select("table", "bucket", F.col("id").alias("id_a"))
-    right = sigs.select("table", "bucket", F.col("id").alias("id_b"))
+    # persist: left/right sides of the candidate join (and the hot-
+    # bucket counts pass) otherwise each recompute the whole-corpus
+    # signature matmul — same reason minhash_lsh_pairs persists its sigs
+    sigs = _signatures(vecs, "id", "v", planes, "s").persist()
+    capped = _cap_hot_buckets(sigs, ["table", "bucket"], max_bucket_df)
+    left = capped.select("table", "bucket", F.col("id").alias("id_a"))
+    right = capped.select("table", "bucket", F.col("id").alias("id_b"))
     cands = (
         left.join(right, ["table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    sigs.unpersist()
     va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     sims = cands.join(va, "id_a").join(vb, "id_b").select(

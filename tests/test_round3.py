@@ -362,3 +362,42 @@ def test_lpa_resume_matches_uninterrupted_run(spark, tmp_path):
     got = {r["id"]: r["label"] for r in resumed.collect()}
     assert got == want
     assert stats["history"][0]["superstep"] == 5  # resumed from step-4 snapshot
+
+
+# ------------------------------------------- review-pass regressions
+
+def test_embedding_near_pairs_excludes_zero_norm_and_null(spark):
+    """Zero-norm / null embeddings have no cosine direction: they must
+    not appear in any pair (0/0 -> NaN passes `>=` under Spark's NaN
+    ordering, and all-zero sign buckets manufacture N^2 candidates)."""
+    from neo4j_graph_algorithms_spark.pipeline.similarity import embedding_near_pairs
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(6, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(6)] + [
+        (100, [0.0] * 8), (101, None),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for method in ("exact", "lsh"):
+        got = embedding_near_pairs(emb, threshold=-1.0, method=method).collect()
+        ids = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+        assert 100 not in ids and 101 not in ids, method
+        assert all(r["sim"] == r["sim"] for r in got), method  # no NaN
+
+
+def test_embedding_near_pairs_empty_input(spark):
+    from neo4j_graph_algorithms_spark.pipeline.similarity import embedding_near_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = embedding_near_pairs(empty, method="lsh")
+    assert out.count() == 0
+    assert set(out.columns) == {"id_a", "id_b", "sim"}
+
+
+def test_compact_id_type_intmax_inclusive(spark):
+    """INT_MAX itself fits int32 — the bound is inclusive."""
+    df = spark.createDataFrame([((1 << 31) - 1, 0)], "src long, dst long")
+    assert compact_id_type(df) == "int"
+    df2 = spark.createDataFrame([((1 << 31), 0)], "src long, dst long")
+    assert compact_id_type(df2) == "long"
