@@ -127,3 +127,22 @@ def test_triangles_match_numpy_oracle(spark, rg):
     got = {r["id"]: r["triangles"] for r in per_node.collect()}
     for i in range(N):
         assert got[i] == exp_per[i], (i, got[i], exp_per[i])
+
+
+@pytest.mark.parametrize("seed,p", [(7, 0.02), (99, 0.12)])
+def test_wcc_matches_numpy_oracle_multiseed(spark, seed, p):
+    """Extra seeds/densities guarding the frontier-based propagation:
+    sparse graphs exercise long label chains + isolated nodes (frontier
+    shrinks to a wavefront, pointer jumps dominate), dense graphs flood
+    in 1-2 rounds (frontier is most of V)."""
+    rng = np.random.RandomState(seed)
+    a = rng.rand(N, N) < p
+    np.fill_diagonal(a, False)
+    edges = [(int(s), int(d)) for s, d in zip(*np.nonzero(a))]
+    g = Graph.from_edge_list(spark, edges, n_nodes=N)
+    expected = _numpy_wcc(edges, N)
+    comp, stats = wcc(g)
+    got = {r["id"]: r["component"] for r in comp.collect()}
+    for i in range(N):
+        assert got[i] == expected[i], (i, got[i], expected[i])
+    assert stats["didConverge"]
