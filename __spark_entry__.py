@@ -536,7 +536,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         label_propagation,
     )
     from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
-    from neo4j_graph_algorithms_spark.operators.triangles import triangle_count
+    from neo4j_graph_algorithms_spark.operators.triangles import (
+        triangle_count,
+        triangle_stream,
+    )
     from neo4j_graph_algorithms_spark.operators.wcc import component_stats, wcc
 
     def q_link_edges(spark, sf):
@@ -586,6 +589,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return per_node.select(
             "id", "triangles", F.round("coefficient", ROUND).alias("coefficient")
         )
+
+    def q_triangle_triples(spark, sf):
+        # `algo.triangle.stream` — the raw (a, b, c) triple surface
+        # (impl/TriangleStream.java:95-160); each unordered triangle
+        # once, corners ascending, so the id-oriented SQL `tri` CTE is
+        # its exact twin
+        g = _doc_graph(spark, sf).cache()
+        return triangle_stream(g)
 
     def q_triangle_stats(spark, sf):
         g = _doc_graph(spark, sf).cache()
@@ -851,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_sizes": q_wcc_sizes,
         "triangles": q_triangles,
         "triangle_stats": q_triangle_stats,
+        "triangle_triples": q_triangle_triples,
         "label_propagation": q_lpa,
         "exact_dup_groups": q_exact_dup_groups,
         "token_counts": q_token_counts,
@@ -900,6 +912,10 @@ SELECT degree, count(*) AS n_nodes FROM indeg GROUP BY degree"""
         "triangles": (
             edges_cte + ",\n" + _SQL_TRIANGLES.strip().rstrip(",")
             + f"\nSELECT id, triangles, ROUND(coefficient, {ROUND}) AS coefficient FROM pernode"
+        ),
+        "triangle_triples": (
+            edges_cte + ",\n" + _SQL_TRIANGLES.strip().rstrip(",")
+            + "\nSELECT a, b, c FROM tri ORDER BY a, b, c"
         ),
         "triangle_stats": (
             edges_cte + ",\n" + _SQL_TRIANGLES.strip().rstrip(",")
