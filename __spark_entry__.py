@@ -375,6 +375,36 @@ def _sql_delta_sssp_unrolled(max_id: int) -> str:
     return "\n".join(parts)
 
 
+def _sql_scc64() -> str:
+    """SCC oracle on the bounded doc subgraph (ids < 64) with
+    deterministic back-edges (reverse of every edge whose src % 3 == 0)
+    so real multi-node SCCs exist. Reachability closure by 6 rounds of
+    path doubling (R_2k = R_k ∘ R_k; 2^6 = 64 covers every path), then
+    component(i) = min{j : i→j and j→i} — the same min-id
+    representative operators/scc.py assigns."""
+    parts = [
+        "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",",
+        "e64 AS (SELECT DISTINCT src, dst FROM e "
+        "WHERE src < 64 AND dst < 64 AND src <> dst),",
+        "eb AS (SELECT src, dst FROM e64 "
+        "UNION SELECT dst, src FROM e64 WHERE src % 3 = 0),",
+        "r0 AS MATERIALIZED (SELECT src, dst FROM eb "
+        "UNION SELECT doc_id, doc_id FROM documents WHERE doc_id < 64),",
+    ]
+    for k in range(1, 7):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT DISTINCT a.src, b.dst "
+            f"FROM r{k - 1} a JOIN r{k - 1} b ON a.dst = b.src),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT x.src AS id, min(x.dst) AS component "
+        "FROM r6 x JOIN r6 y ON y.src = x.dst AND y.dst = x.src "
+        "GROUP BY x.src ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
 def _sql_louvain_unrolled(iterations: int) -> str:
     """Single-level Louvain, unrolled: per half-step, per node, the
     neighbor community with max modularity gain
@@ -843,6 +873,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.round("distance", ROUND).alias("distance")
         )
 
+    def q_scc64(spark, sf):
+        # `algo.scc.*` end-to-end on the bounded doc subgraph with
+        # deterministic back-edges (reverse every edge whose src % 3
+        # == 0) so genuine multi-node SCCs exist; oracle = 6-round
+        # path-doubling reachability closure + mutual-reach min in SQL
+        from neo4j_graph_algorithms_spark.graph import Graph
+        from neo4j_graph_algorithms_spark.operators.scc import scc
+
+        base = (
+            _doc_link_rows(spark, sf).select("src", "dst").distinct()
+            .filter((F.col("src") < 64) & (F.col("dst") < 64))
+        )
+        back = base.filter(F.pmod("src", F.lit(3)) == 0).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        edges = base.unionByName(back).distinct().withColumn("weight", F.lit(1.0))
+        nodes = (
+            _read(spark, sf, "documents")
+            .select(F.col("doc_id").alias("id"))
+            .filter(F.col("id") < 64)
+        )
+        g = Graph.from_edges(edges, nodes=nodes, weight="weight")
+        assignments, _ = scc(g)
+        return assignments.orderBy("id")
+
     def q_events_hourly(spark, sf):
         ev = _read(spark, sf, "events")
         return ev.groupBy(
@@ -881,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_hops4": q_harmonic_hops4,
         "betweenness_hops4": q_betweenness_hops4,
         "delta_sssp64": q_delta_sssp64,
+        "scc64": q_scc64,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "events_hourly": q_events_hourly,
     }
@@ -973,6 +1029,7 @@ SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM j WHERE jac >= 0.85""",
         "harmonic_hops4": _sql_harmonic_unrolled(4),
         "betweenness_hops4": _sql_betweenness_unrolled(4),
         "delta_sssp64": _sql_delta_sssp_unrolled(64),
+        "scc64": _sql_scc64(),
         "embedding_dup_pairs": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 p AS (
