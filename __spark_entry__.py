@@ -405,6 +405,38 @@ def _sql_scc64() -> str:
     return "\n".join(parts)
 
 
+def _sql_mst64() -> str:
+    """MST oracle on the bounded undirected doc subgraph (ids < 64)
+    with DISTINCT deterministic weights (w = a·64 + b on the canonical
+    pair): the MST is then unique and an edge belongs to it iff its
+    weight equals the minimax path weight between its endpoints (cycle
+    property — any path avoiding the edge with a smaller max weight
+    would evict it). Minimax distances by 6 rounds of min-max path
+    doubling (identity rows at w=0 keep shorter paths)."""
+    parts = [
+        "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",",
+        "e64 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM e WHERE src < 64 AND dst < 64 AND src <> dst),",
+        "p AS MATERIALIZED (SELECT a, b, CAST(a * 64 + b AS DOUBLE) AS w FROM e64),",
+        "m0 AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM p "
+        "UNION SELECT b, a, w FROM p "
+        "UNION SELECT doc_id, doc_id, 0.0 FROM documents WHERE doc_id < 64),",
+    ]
+    for k in range(1, 7):
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM ("
+            f"SELECT a.src, b.dst, greatest(a.w, b.w) AS w "
+            f"FROM m{k - 1} a JOIN m{k - 1} b ON a.dst = b.src) GROUP BY src, dst),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT p.a AS src, p.b AS dst, p.w AS weight FROM p "
+        "JOIN m6 ON m6.src = p.a AND m6.dst = p.b AND m6.w = p.w "
+        "ORDER BY src, dst"
+    )
+    return "\n".join(parts)
+
+
 def _sql_louvain_unrolled(iterations: int) -> str:
     """Single-level Louvain, unrolled: per half-step, per node, the
     neighbor community with max modularity gain
@@ -898,6 +930,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assignments, _ = scc(g)
         return assignments.orderBy("id")
 
+    def q_mst64(spark, sf):
+        # `algo.mst` (Borůvka rebuild) on the bounded undirected doc
+        # subgraph with distinct deterministic weights -> unique MST;
+        # oracle = minimax-path characterization via min-max doubling
+        from neo4j_graph_algorithms_spark.graph import Graph
+        from neo4j_graph_algorithms_spark.operators.mst import mst
+
+        base = (
+            _doc_link_rows(spark, sf).select("src", "dst").distinct()
+            .filter((F.col("src") < 64) & (F.col("dst") < 64))
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .distinct()
+            .withColumn(
+                "weight", (F.col("src") * 64 + F.col("dst")).cast("double")
+            )
+        )
+        nodes = (
+            _read(spark, sf, "documents")
+            .select(F.col("doc_id").alias("id"))
+            .filter(F.col("id") < 64)
+        )
+        g = Graph.from_edges(base, nodes=nodes, weight="weight")
+        tree, _ = mst(g)
+        return tree.orderBy("src", "dst")
+
     def q_events_hourly(spark, sf):
         ev = _read(spark, sf, "events")
         return ev.groupBy(
@@ -937,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness_hops4": q_betweenness_hops4,
         "delta_sssp64": q_delta_sssp64,
         "scc64": q_scc64,
+        "mst64": q_mst64,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "events_hourly": q_events_hourly,
     }
@@ -1030,6 +1092,7 @@ SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM j WHERE jac >= 0.85""",
         "betweenness_hops4": _sql_betweenness_unrolled(4),
         "delta_sssp64": _sql_delta_sssp_unrolled(64),
         "scc64": _sql_scc64(),
+        "mst64": _sql_mst64(),
         "embedding_dup_pairs": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 p AS (
