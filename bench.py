@@ -93,6 +93,14 @@ HEADLINE = [
     "label_propagation",
     "doc_fingerprint",
     "embedding_topk",
+    # round-2/3 kernels, floor-tracked since r4 so a perf regression in
+    # any kernel family is visible round-over-round (the driver queries
+    # are depth/size-bounded, so the added cost per rep is small)
+    "betweenness_hops4",
+    "scc64",
+    "mst64",
+    "delta_sssp64",
+    "apsp_hops4",
 ]
 
 # floor-vs-r1 ratio above which we call a regression; r1 is a single
@@ -139,24 +147,36 @@ def main() -> None:
     floors = {n: min(v) for n, v in samples.items()}
     medians = {n: round(statistics.median(v), 2) for n, v in samples.items()}
 
-    # regression adjudication vs round 1 (the standing baseline; r2's
-    # single-run bench was ruled unevidenced)
+    # regression adjudication vs the MOST RECENT prior round that
+    # recorded each query (r3+ records are floor-graded like this one;
+    # r1/r2 were single runs — the source file is named per query so
+    # the verdict's evidence quality is visible)
+    baseline: dict[str, tuple[float, str]] = {}
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r0*.json"))):
+        try:
+            with open(path) as fh:
+                parsed = json.load(fh).get("parsed", {})
+        except (OSError, json.JSONDecodeError):
+            continue
+        if parsed.get("sf") != sf:  # only comparable at the same scale
+            continue
+        for name, secs in parsed.get("queries", {}).items():
+            if secs and secs > 0:
+                baseline[name] = (secs, os.path.basename(path))
     regression: dict[str, dict] = {}
-    r1_path = os.path.join(here, "BENCH_r01.json")
-    if os.path.exists(r1_path):
-        with open(r1_path) as fh:
-            r1_parsed = json.load(fh).get("parsed", {})
-        # only comparable at the same scale factor as the r1 record
-        r1 = r1_parsed.get("queries", {}) if r1_parsed.get("sf") == sf else {}
-        for name, floor in floors.items():
-            if name in r1 and r1[name] > 0:
-                ratio = floor / r1[name]
-                regression[name] = {
-                    "r1_single_run": r1[name],
-                    "floor": floor,
-                    "ratio": round(ratio, 2),
-                    "verdict": _verdict(ratio),
-                }
+    for name, floor in floors.items():
+        if name in baseline:
+            base, src = baseline[name]
+            ratio = floor / base
+            regression[name] = {
+                "baseline": base,
+                "baseline_source": src,
+                "floor": floor,
+                "ratio": round(ratio, 2),
+                "verdict": _verdict(ratio),
+            }
 
     # kernel throughput on a synthetic graph sized to the scale factor
     # (sf0.1 → 2M files / ~6M edges)

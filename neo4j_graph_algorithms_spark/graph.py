@@ -230,6 +230,7 @@ class Graph:
     nodes: DataFrame  # (id: long, ...props)
     edges: DataFrame  # (src: long, dst: long, weight: double)
     _cached: list[DataFrame] = field(default_factory=list, repr=False)
+    _id_type: str | None = field(default=None, repr=False, compare=False)
 
     @classmethod
     def from_edges(
@@ -296,6 +297,33 @@ class Graph:
         for df in self._cached:
             df.unpersist()
         self._cached = []
+
+    def id_type(self) -> str:
+        """Cached `compact_id_type` over BOTH edge endpoints and node ids.
+
+        The snapshot is immutable, so the bound scan runs at most once
+        per Graph no matter how many kernels (or kernel-internal frames)
+        ask — previously WCC/LPA each re-ran two full-table aggregations
+        per call, several O(E)+O(V) scans ahead of every kernel in a
+        chained pipeline. Covering the node frame too makes the answer
+        safe for any kernel frame whose values are node ids (labels,
+        components, sources): isolated node ids outside the edge range
+        can't be silently truncated by an edges-only check.
+        """
+        if self._id_type is None:
+            eb = self.edges.agg(
+                F.max(F.greatest(SRC, DST)).alias("mx"),
+                F.min(F.least(SRC, DST)).alias("mn"),
+            ).collect()[0]
+            nb = self.nodes.agg(
+                F.max("id").alias("mx"), F.min("id").alias("mn")
+            ).collect()[0]
+            mx = max(eb["mx"] or 0, nb["mx"] or 0)
+            mn = min(eb["mn"] or 0, nb["mn"] or 0)
+            self._id_type = (
+                "int" if (mx <= (1 << 31) - 1 and mn >= -(1 << 31)) else "long"
+            )
+        return self._id_type
 
     def node_count(self) -> int:
         return self.nodes.count()

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph, degrees
-from ..plans.checkpointing import adaptive_disabled, check_termination
+from ..plans.checkpointing import adaptive_disabled, check_termination, truncate_plan
 
 
 def _select_sources(
@@ -93,14 +93,28 @@ def _brandes_wave(
     """One wave of batched Brandes → (contrib(node, dep), max depth).
 
     contrib holds Σ_sources δ(v) for this wave's sources (source≠node
-    rows only). All frames are localCheckpoint-truncated per depth.
+    rows only).
+
+    State discipline: the BFS DAG is kept as a Python list of PER-LAYER
+    frames — ``layers[d]`` holds the wave's (source, node, sigma) rows
+    settled at depth d, each checkpointed exactly ONCE when its depth
+    completes. The forward anti-join probes the lazy union of those
+    once-materialized layers (re-folded every `_SETTLED_FOLD` depths to
+    bound plan width), so the cumulative settled set is never rewritten
+    per depth — the old union+localCheckpoint-per-depth pattern copied
+    O(depth × settled) rows. The backward pass improves the same way:
+    in a BFS DAG every node's dependency δ is fully determined by layer
+    d+1, so each layer's δ is FINALIZED in one join when its turn comes
+    (one O(layer) write each, total O(settled)) instead of rewriting an
+    O(settled) δ frame per descending depth.
     """
-    frontier = wave_sources.select(
-        F.col("id").alias("source"), F.col("id").alias("node"),
-        F.lit(0).alias("depth"), F.lit(1.0).alias("sigma"),
-    )
-    settled = frontier.localCheckpoint(eager=True)
-    frontier = settled
+    layer0 = wave_sources.select(
+        F.col("id").alias("source"), F.col("id").alias("node"), F.lit(1.0).alias("sigma")
+    ).localCheckpoint(eager=True)
+    layers: list[DataFrame] = [layer0]
+    settled_keys = layer0.select("source", "node")
+    _SETTLED_FOLD = 64
+    frontier = layer0
     depth = 0
     while True:
         check_termination(spark, termination)
@@ -108,37 +122,36 @@ def _brandes_wave(
             # ref MaxDepthBetweennessCentrality.java:128: nodes beyond
             # maxDepth are neither expanded nor back-propagated
             break
-        depth += 1
-        nxt = (
+        # truncate_plan, not plain localCheckpoint: nxt references the
+        # settled union AND the previous layer — the diamond whose
+        # checkpoint-origin chain otherwise grows exponentially with
+        # depth (plans/checkpointing.truncate_plan)
+        nxt = truncate_plan(
             edges.join(frontier.withColumnRenamed("node", "src"), "src")
             .groupBy("source", F.col("dst").alias("node"))
             .agg(F.sum("sigma").alias("sigma"))
-            .join(settled.select("source", "node"), ["source", "node"], "left_anti")
-            .withColumn("depth", F.lit(depth))
-            .select("source", "node", "depth", "sigma")
-            .localCheckpoint(eager=True)
+            .join(settled_keys, ["source", "node"], "left_anti")
         )
         if nxt.isEmpty():
-            depth -= 1
             break
-        settled = settled.unionByName(nxt).localCheckpoint(eager=True)
+        depth += 1
+        layers.append(nxt)
+        settled_keys = settled_keys.unionByName(nxt.select("source", "node"))
+        if len(layers) % _SETTLED_FOLD == 0:
+            settled_keys = truncate_plan(settled_keys)
         frontier = nxt
 
-    # backward accumulation, depths descending
-    delta = settled.select("source", "node", F.lit(0.0).alias("delta"))
-    delta = delta.localCheckpoint(eager=True)
+    # backward accumulation, depths descending: finalize one layer's δ
+    # per step from the (already final) δ of the layer below it
+    finalized: list[DataFrame] = []
+    cur = layers[depth].withColumn("delta", F.lit(0.0))
     for d in range(depth, 0, -1):
         check_termination(spark, termination)
-        succ = (
-            settled.filter(F.col("depth") == d)
-            .join(delta, ["source", "node"])
-            .select("source", "node", "sigma", "delta")
-        )
         # pull: for each predecessor edge (v -> w), v gains
         # σv/σw · (1 + δw); join via reversed edges
         contrib = (
             rev.join(
-                succ.select(
+                cur.select(
                     "source", F.col("node").alias("src"),
                     F.col("sigma").alias("s_w"), F.col("delta").alias("d_w"),
                 ),
@@ -146,24 +159,26 @@ def _brandes_wave(
             )
             .select("source", F.col("dst").alias("node"), "s_w", "d_w")
             .join(
-                settled.filter(F.col("depth") == d - 1).select(
-                    "source", "node", F.col("sigma").alias("s_v")
-                ),
+                layers[d - 1].select("source", "node", F.col("sigma").alias("s_v")),
                 ["source", "node"],
             )
             .groupBy("source", "node")
             .agg(F.sum(F.col("s_v") / F.col("s_w") * (1.0 + F.col("d_w"))).alias("add"))
         )
-        delta = (
-            delta.join(contrib, ["source", "node"], "left")
+        finalized.append(cur)
+        cur = truncate_plan(
+            layers[d - 1].join(contrib, ["source", "node"], "left")
             .select(
-                "source", "node",
-                (F.col("delta") + F.coalesce(F.col("add"), F.lit(0.0))).alias("delta"),
+                "source", "node", "sigma",
+                F.coalesce(F.col("add"), F.lit(0.0)).alias("delta"),
             )
-            .localCheckpoint(eager=True)
         )
+    finalized.append(cur)  # layer 0 (the sources themselves)
+    all_delta = finalized[0].select("source", "node", "delta")
+    for f in finalized[1:]:
+        all_delta = all_delta.unionByName(f.select("source", "node", "delta"))
     wave_contrib = (
-        delta.filter(F.col("source") != F.col("node"))
+        all_delta.filter(F.col("source") != F.col("node"))
         .groupBy("node")
         .agg(F.sum("delta").alias("dep"))
     )
@@ -190,7 +205,13 @@ def betweenness(
     spark = graph.edges.sparkSession
     t0 = time.time()
     n_parts = spark.sparkContext.defaultParallelism
-    edges = graph.edges.select("src", "dst").distinct()
+    # int-id compression (cached Heavy-vs-Huge analogue, graph.id_type):
+    # the per-depth expand join and the backward pull shuffle
+    # (source, node) pairs — both columns halve on int32-safe ids
+    id_t = graph.id_type()
+    edges = graph.edges.select(
+        F.col("src").cast(id_t).alias("src"), F.col("dst").cast(id_t).alias("dst")
+    ).distinct()
     if direction == "both":
         edges = edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -212,6 +233,7 @@ def betweenness(
 
     n = graph.node_count()
     sources, scale, n_sources = _select_sources(graph, direction, sample, strategy, seed)
+    sources = sources.select(F.col("id").cast(id_t).alias("id"))
     n_waves = max(1, -(-n_sources // wave_size))
     if n_waves > 1:
         sources = sources.withColumn("_wave", F.pmod(F.xxhash64("id"), F.lit(n_waves)))
@@ -227,18 +249,20 @@ def betweenness(
             wave_contrib, d = _brandes_wave(spark, edges, rev, wave_src, max_depth, termination)
             deepest = max(deepest, d)
             if acc is None:
-                acc = wave_contrib.localCheckpoint(eager=True)
+                acc = truncate_plan(wave_contrib)
             else:
-                acc = (
+                acc = truncate_plan(
                     acc.unionByName(wave_contrib)
                     .groupBy("node")
                     .agg(F.sum("dep").alias("dep"))
-                    .localCheckpoint(eager=True)
                 )
-    result = acc.select("node", (F.col("dep") * F.lit(scale)).alias("centrality"))
-    result = graph.nodes.select("id").join(
-        result.withColumnRenamed("node", "id"), "id", "left"
-    ).select("id", F.coalesce("centrality", F.lit(0.0)).alias("centrality"))
+    result = acc.select(
+        F.col("node").cast("long").alias("id"),
+        (F.col("dep") * F.lit(scale)).alias("centrality"),
+    )
+    result = graph.nodes.select("id").join(result, "id", "left").select(
+        "id", F.coalesce("centrality", F.lit(0.0)).alias("centrality")
+    )
     edges.unpersist()
     rev.unpersist()
     stats = {

@@ -89,16 +89,18 @@ def label_propagation(
     else:
         init = nodes.select("id", F.col("id").alias("label"))
 
-    # int-id compression (shared Heavy-vs-Huge analogue,
-    # graph.compact_id_type): the superstep join+agg shuffles (node,
-    # nbr, label) tuples every iteration — when ids AND seed labels all
-    # fit int32 the shuffled bytes drop by a third
+    # int-id compression (shared Heavy-vs-Huge analogue): the superstep
+    # join+agg shuffles (node, nbr, label) tuples every iteration — when
+    # ids AND seed labels all fit int32 the shuffled bytes drop by a
+    # third. graph.id_type() (cached per snapshot) bounds ids; only a
+    # CUSTOM seed column needs its own bound scan (seed labels are
+    # arbitrary longs; default labels are node ids, already covered).
     from ..graph import compact_id_type
 
-    id_t = "int" if (
-        compact_id_type(e, ("node", "nbr")) == "int"
-        and compact_id_type(init, ("id", "label")) == "int"
-    ) else "long"
+    seeded = seed_col is not None and seed_col in nodes.columns
+    id_t = graph.id_type()
+    if id_t == "int" and seeded and compact_id_type(init, ("label",)) != "int":
+        id_t = "long"
     if id_t == "int":
         e = e.select(
             F.col("node").cast("int").alias("node"),

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..graph import Graph, undirect
-from ..plans.checkpointing import adaptive_disabled, check_termination
+from ..plans.checkpointing import adaptive_disabled, check_termination, truncate_plan
 
 
 def louvain(
@@ -101,10 +101,15 @@ def louvain(
         )
 
     with adaptive_disabled(spark):
-        comm = comm.localCheckpoint(eager=True)
+        comm = truncate_plan(comm)
         for it in range(1, iterations + 1):
             check_termination(spark, termination, it)
-            stepped = half_round(half_round(comm, 0), 1).localCheckpoint(eager=True)
+            # truncate_plan: each half-round references comm four times
+            # (votes, totals, own-community, final coalesce) — the
+            # widest diamond of any kernel; a plain localCheckpoint's
+            # origin chain would grow ~4^iterations
+            # (plans/checkpointing.truncate_plan)
+            stepped = truncate_plan(half_round(half_round(comm, 0), 1))
             changed = (
                 stepped.join(comm.withColumnRenamed("community", "prev"), "id")
                 .filter(F.col("community") != F.col("prev"))

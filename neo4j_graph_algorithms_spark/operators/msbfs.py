@@ -26,17 +26,41 @@ batch's state simultaneously. Per-depth shuffle volume is O(frontier),
 edges stay cached and hash-partitioned. `visited` is a second
 (batch, node, seen_mask) frame updated with the same cadence
 (localCheckpoint truncation as in PageRank).
+
+Both public variants (`ms_bfs_depths`, `all_shortest_paths`) run on ONE
+shared wave engine (`_run_wave_bfs`) parameterized by the per-depth
+emit; they differ only in what each settled frontier contributes to the
+output. Output accumulation is LAZY: every per-depth contribution is a
+cheap projection of the once-checkpointed frontier frame, collected in
+a Python list and unioned at the end — the accumulated result set is
+never re-materialized per depth (the old union+localCheckpoint pattern
+rewrote O(depth × settled) rows; on a diameter-D graph that is D full
+copies of an up-to-O(V²/64) result). A periodic fold (every
+``_FOLD_EVERY`` frames) bounds plan width on very deep graphs at an
+amortized O(state·D/fold) — never the per-depth rewrite.
+
+Ids are int-compressed when the snapshot's ids fit int32
+(graph.id_type(), the cached Heavy-vs-Huge analogue): the per-depth
+expand join and bit_or agg shuffle (batch, node, mask) tuples, and the
+node column dropping 8→4 bytes cuts the moved bytes by a quarter on
+this memory-bandwidth-bound workload. Outputs are cast back to long.
 """
 
 from __future__ import annotations
 
 import time
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph, undirect
-from ..plans.checkpointing import adaptive_disabled, check_termination
+from ..plans.checkpointing import adaptive_disabled, check_termination, truncate_plan
+
+# fold the pending lazy result frames into one checkpoint once the list
+# grows past this many entries: keeps the final union plan flat/bounded
+# on 1000-depth graphs while typical (depth < fold) runs never rewrite
+_FOLD_EVERY = 128
 
 
 def _number_sources(src_nodes: DataFrame) -> DataFrame:
@@ -59,14 +83,16 @@ def _number_sources(src_nodes: DataFrame) -> DataFrame:
         base = int(stats["mn"])
         off = F.col("id") - F.lit(base)
         return src_nodes.select(
-            "id", F.floor(off / 64).alias("batch"), F.pmod(off, F.lit(64)).alias("bit")
+            "id",
+            F.floor(off / 64).cast("int").alias("batch"),
+            F.pmod(off, F.lit(64)).cast("int").alias("bit"),
         )
     from ..plans.partitioning import distributed_rank
 
     return distributed_rank(src_nodes.select("id"), "id").select(
         "id",
-        F.floor(F.col("_rank") / 64).alias("batch"),
-        F.pmod(F.col("_rank"), F.lit(64)).alias("bit"),
+        F.floor(F.col("_rank") / 64).cast("int").alias("batch"),
+        F.pmod(F.col("_rank"), F.lit(64)).cast("int").alias("bit"),
     )
 
 
@@ -96,6 +122,115 @@ def _wave_ranges(numbered: DataFrame, wave_size: int | None) -> list[tuple[int, 
     return [(lo, min(lo + wb, n_batches)) for lo in range(0, n_batches, wb)]
 
 
+def _run_wave_bfs(
+    graph: Graph,
+    direction: str,
+    sources: DataFrame | None,
+    max_depth: int | None,
+    termination,
+    wave_size: int | None,
+    emit: Callable[[DataFrame, int, DataFrame], DataFrame],
+    out_schema: str,
+) -> DataFrame:
+    """Shared MS-BFS wave engine.
+
+    Runs the bitmask frontier loop (expand → mask off seen → settle)
+    wave by wave; for every settled per-depth frontier ``nxt`` it calls
+    ``emit(nxt, depth, wave_numbered)`` and collects the returned frame
+    (a LAZY projection of the already-checkpointed ``nxt`` /
+    ``wave_numbered`` — emit must not trigger jobs) into a list that is
+    unioned once at the end. The cumulative output is therefore never
+    re-materialized inside the depth loop; only the O(wave-state)
+    ``visited``/``frontier`` folds checkpoint per depth.
+    """
+    spark = graph.edges.sparkSession
+    id_t = graph.id_type()
+    edges = _sym_edges(graph, direction)
+    if id_t == "int":
+        edges = edges.select(
+            F.col("src").cast("int").alias("src"), F.col("dst").cast("int").alias("dst")
+        )
+    n_parts = spark.sparkContext.defaultParallelism
+    edges = edges.repartition(n_parts, "src").persist()
+    edges.count()
+
+    src_nodes = sources if sources is not None else graph.nodes.select("id")
+    if id_t == "int":
+        src_nodes = src_nodes.select(F.col("id").cast("int").alias("id"))
+    numbered = _number_sources(src_nodes).localCheckpoint(eager=True)
+    waves = _wave_ranges(numbered, wave_size)
+
+    frames: list[DataFrame] = []
+
+    def fold_if_wide() -> None:
+        # bound the pending-union plan width on very deep graphs; the
+        # amortized rewrite is O(state · depth/_FOLD_EVERY), a 128×
+        # improvement over the per-depth rewrite this replaced
+        if len(frames) >= _FOLD_EVERY:
+            acc = frames[0]
+            for f in frames[1:]:
+                acc = acc.unionByName(f)
+            frames.clear()
+            frames.append(truncate_plan(acc))
+
+    with adaptive_disabled(spark):
+        for lo, hi in waves:
+            wave_numbered = (
+                numbered if len(waves) == 1
+                else numbered.filter(
+                    (F.col("batch") >= lo) & (F.col("batch") < hi)
+                ).localCheckpoint(eager=True)
+            )
+            frontier = wave_numbered.select(
+                "batch", F.col("id").alias("node"),
+                F.expr("shiftleft(1L, bit)").alias("mask"),
+            ).localCheckpoint(eager=True)
+            visited = frontier.withColumnRenamed("mask", "seen")
+            depth = 0
+            while True:
+                check_termination(spark, termination, depth)
+                depth += 1
+                if max_depth is not None and depth > max_depth:
+                    break
+                # expand: every frontier bit flows along the edges;
+                # drop bits already seen. The two per-depth state frames
+                # go through truncate_plan (NOT plain localCheckpoint):
+                # nxt references visited and visited references nxt — a
+                # diamond whose checkpoint-origin chain otherwise doubles
+                # per depth and hangs the driver in stats estimation
+                # beyond ~depth 20 (see plans/checkpointing.truncate_plan)
+                nxt = truncate_plan(
+                    edges.join(frontier.withColumnRenamed("node", "src"), "src")
+                    .groupBy("batch", F.col("dst").alias("node"))
+                    .agg(F.bit_or("mask").alias("mask"))
+                    .join(visited, ["batch", "node"], "left")
+                    .select(
+                        "batch", "node",
+                        F.col("mask").bitwiseAND(F.bitwise_not(F.coalesce(F.col("seen"), F.lit(0).cast("long")))).alias("mask"),
+                    )
+                    .filter(F.col("mask") != 0)
+                )
+                if nxt.isEmpty():
+                    break
+                frames.append(emit(nxt, depth, wave_numbered))
+                fold_if_wide()
+                visited = truncate_plan(
+                    visited.join(nxt.withColumnRenamed("mask", "new"), ["batch", "node"], "full")
+                    .select(
+                        "batch", "node",
+                        F.coalesce(F.col("seen"), F.lit(0).cast("long")).bitwiseOR(F.coalesce(F.col("new"), F.lit(0).cast("long"))).alias("seen"),
+                    )
+                )
+                frontier = nxt
+    edges.unpersist()
+    if not frames:
+        return spark.createDataFrame([], out_schema)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def ms_bfs_depths(
     graph: Graph,
     direction: str = "both",
@@ -112,80 +247,25 @@ def ms_bfs_depths(
     consume, without materializing the O(V²) pair list.
 
     ``wave_size`` bounds how many sources are in flight at once (see
-    `_wave_ranges`); the output is identical for any wave size.
+    `_wave_ranges`); the output is identical for any wave size. The
+    final groupBy collapses (batch, wave) multiplicity in ONE shuffle
+    over the lazily-unioned per-depth frames (the per-depth pre-agg +
+    per-depth accumulator rewrite this replaced paid a shuffle *and* a
+    full result copy per depth).
     """
-    spark = graph.edges.sparkSession
-    edges = _sym_edges(graph, direction)
-    n_parts = spark.sparkContext.defaultParallelism
-    edges = edges.repartition(n_parts, "src").persist()
-    edges.count()
 
-    src_nodes = sources if sources is not None else graph.nodes.select("id")
-    # batch id + bit position per source: 64 sources per batch
-    numbered = _number_sources(src_nodes).localCheckpoint(eager=True)
-    waves = _wave_ranges(numbered, wave_size)
-
-    results: DataFrame | None = None
-    with adaptive_disabled(spark):
-        for lo, hi in waves:
-            wave_numbered = (
-                numbered if len(waves) == 1
-                else numbered.filter((F.col("batch") >= lo) & (F.col("batch") < hi))
-            )
-            frontier = wave_numbered.select(
-                "batch", F.col("id").alias("node"),
-                F.expr("shiftleft(1L, cast(bit as int))").alias("mask"),
-            ).localCheckpoint(eager=True)
-            visited = frontier.withColumnRenamed("mask", "seen")
-            depth = 0
-            while True:
-                check_termination(spark, termination, depth)
-                depth += 1
-                if max_depth is not None and depth > max_depth:
-                    break
-                # expand: every frontier bit flows along the edges
-                nxt = (
-                    edges.join(frontier.withColumnRenamed("node", "src"), "src")
-                    .groupBy("batch", F.col("dst").alias("node"))
-                    .agg(F.bit_or("mask").alias("mask"))
-                )
-                # drop bits already seen
-                nxt = (
-                    nxt.join(visited, ["batch", "node"], "left")
-                    .select(
-                        "batch", "node",
-                        F.col("mask").bitwiseAND(F.bitwise_not(F.coalesce(F.col("seen"), F.lit(0).cast("long")))).alias("mask"),
-                    )
-                    .filter(F.col("mask") != 0)
-                )
-                nxt = nxt.localCheckpoint(eager=True)
-                if nxt.isEmpty():
-                    break
-                contrib = nxt.select(
-                    "node", F.lit(depth).alias("depth"), F.bit_count("mask").alias("n_sources")
-                ).groupBy("node", "depth").agg(F.sum("n_sources").alias("n_sources"))
-                results = contrib if results is None else results.unionByName(contrib)
-                results = results.localCheckpoint(eager=True)
-                visited = (
-                    visited.join(nxt.withColumnRenamed("mask", "new"), ["batch", "node"], "full")
-                    .select(
-                        "batch", "node",
-                        F.coalesce(F.col("seen"), F.lit(0).cast("long")).bitwiseOR(F.coalesce(F.col("new"), F.lit(0).cast("long"))).alias("seen"),
-                    )
-                ).localCheckpoint(eager=True)
-                frontier = nxt
-    edges.unpersist()
-    if results is None:
-        schema = "node long, depth int, n_sources long"
-        return spark.createDataFrame([], schema)
-    if len(waves) > 1:
-        # the same (node, depth) cell can receive counts from several
-        # waves — re-aggregate so the output contract (one row per
-        # reached cell) holds for every wave size
-        results = results.groupBy("node", "depth").agg(
-            F.sum("n_sources").alias("n_sources")
+    def emit(nxt: DataFrame, depth: int, _wn: DataFrame) -> DataFrame:
+        return nxt.select(
+            "node", F.lit(depth).alias("depth"), F.bit_count("mask").alias("n_sources")
         )
-    return results
+
+    raw = _run_wave_bfs(
+        graph, direction, sources, max_depth, termination, wave_size,
+        emit, "node long, depth int, n_sources long",
+    )
+    return raw.groupBy(
+        F.col("node").cast("long").alias("node"), "depth"
+    ).agg(F.sum("n_sources").alias("n_sources"))
 
 
 def closeness(graph: Graph, direction: str = "both") -> tuple[DataFrame, dict]:
@@ -241,78 +321,27 @@ def all_shortest_paths(
     explodes set bits (`F.filter` over a 0..63 sequence — JVM-side,
     no Python row loop). ``wave_size`` bounds in-flight sources (see
     `_wave_ranges`); waves partition the sources, so their row sets are
-    disjoint and the union is the exact all-pairs answer.
+    disjoint and the union is the exact all-pairs answer. The per-depth
+    pair frames are lazy projections of the checkpointed frontiers,
+    unioned once — critical here, where the accumulated output is
+    O(V²) rows and the old per-depth rewrite was O(diameter · V²).
     """
-    spark = graph.edges.sparkSession
-    src_nodes = graph.nodes.select("id")
-    numbered = _number_sources(src_nodes).localCheckpoint(eager=True)
-    waves = _wave_ranges(numbered, wave_size)
 
-    edges = _sym_edges(graph, direction)
-    n_parts = spark.sparkContext.defaultParallelism
-    edges = edges.repartition(n_parts, "src").persist()
+    def emit(nxt: DataFrame, depth: int, wave_numbered: DataFrame) -> DataFrame:
+        # explode set bits → (batch, bit) → join back to source ids
+        hits = nxt.select(
+            "batch", "node",
+            F.explode(
+                F.expr("filter(sequence(0, 63), b -> (mask & shiftleft(1L, b)) != 0)")
+            ).alias("bit"),
+        )
+        return hits.join(wave_numbered, ["batch", "bit"]).select(
+            F.col("id").cast("long").alias("source"),
+            F.col("node").cast("long").alias("target"),
+            F.lit(depth).alias("depth"),
+        )
 
-    results: DataFrame | None = None
-    with adaptive_disabled(spark):
-        for lo, hi in waves:
-            wave_numbered = (
-                numbered if len(waves) == 1
-                else numbered.filter(
-                    (F.col("batch") >= lo) & (F.col("batch") < hi)
-                ).localCheckpoint(eager=True)
-            )
-            frontier = wave_numbered.select(
-                "batch", F.col("id").alias("node"),
-                F.expr("shiftleft(1L, cast(bit as int))").alias("mask"),
-            ).localCheckpoint(eager=True)
-            visited = frontier.withColumnRenamed("mask", "seen")
-            depth = 0
-            while True:
-                check_termination(spark, termination, depth)
-                depth += 1
-                if max_depth is not None and depth > max_depth:
-                    break
-                nxt = (
-                    edges.join(frontier.withColumnRenamed("node", "src"), "src")
-                    .groupBy("batch", F.col("dst").alias("node"))
-                    .agg(F.bit_or("mask").alias("mask"))
-                    .join(visited, ["batch", "node"], "left")
-                    .select(
-                        "batch", "node",
-                        F.col("mask").bitwiseAND(F.bitwise_not(F.coalesce(F.col("seen"), F.lit(0).cast("long")))).alias("mask"),
-                    )
-                    .filter(F.col("mask") != 0)
-                    .localCheckpoint(eager=True)
-                )
-                if nxt.isEmpty():
-                    break
-                # explode set bits → (batch, bit) → join back to source ids
-                hits = nxt.select(
-                    "batch", "node",
-                    F.explode(
-                        F.expr("filter(sequence(0, 63), b -> (mask & shiftleft(1L, b)) != 0)")
-                    ).alias("bit"),
-                )
-                rows = (
-                    hits.join(wave_numbered, ["batch", "bit"])
-                    .select(
-                        F.col("id").alias("source"),
-                        F.col("node").alias("target"),
-                        F.lit(depth).alias("depth"),
-                    )
-                )
-                results = rows if results is None else results.unionByName(rows)
-                results = results.localCheckpoint(eager=True)
-                visited = (
-                    visited.join(nxt.withColumnRenamed("mask", "new"), ["batch", "node"], "full")
-                    .select(
-                        "batch", "node",
-                        F.coalesce(F.col("seen"), F.lit(0).cast("long")).bitwiseOR(F.coalesce(F.col("new"), F.lit(0).cast("long"))).alias("seen"),
-                    )
-                    .localCheckpoint(eager=True)
-                )
-                frontier = nxt
-    edges.unpersist()
-    if results is None:
-        return spark.createDataFrame([], "source long, target long, depth int")
-    return results
+    return _run_wave_bfs(
+        graph, direction, None, max_depth, termination, wave_size,
+        emit, "source long, target long, depth int",
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpointing import adaptive_disabled, check_termination
+from ..plans.checkpointing import adaptive_disabled, check_termination, truncate_plan
 
 
 def mst(
@@ -61,10 +61,18 @@ def mst(
         .distinct()
         .select("id", F.col("id").alias("component"))
     )
-    chosen: DataFrame | None = None
+    # picked tree edges accumulate as a LAZY list of once-checkpointed
+    # per-round frames, unioned at the end: a chosen edge merges its
+    # endpoints' components, so it can never be re-picked in a later
+    # round — cross-round duplicates are impossible and the old
+    # per-round union+distinct+checkpoint of the whole accumulator
+    # (O(rounds × tree) rewrites plus one full shuffle each) is pure
+    # overhead. Same-round double-picks are already collapsed by the
+    # distinct() on `picks`.
+    chosen_frames: list[DataFrame] = []
     rounds = 0
     with adaptive_disabled(spark):
-        comp = comp.localCheckpoint(eager=True)
+        comp = truncate_plan(comp)
         for _ in range(max_rounds):
             check_termination(spark, termination, rounds)
             rounds += 1
@@ -89,8 +97,7 @@ def mst(
             )
             if picks.isEmpty():
                 break
-            chosen = picks if chosen is None else chosen.unionByName(picks).distinct()
-            chosen = chosen.localCheckpoint(eager=True)
+            chosen_frames.append(picks)
             # contract: min-label propagation over the chosen edges until
             # stable (component graphs shrink geometrically, few rounds)
             sym = picks.select("src", "dst").unionByName(
@@ -109,9 +116,14 @@ def mst(
                 parent = stepped.select(
                     F.col("id").alias("component"), F.col("component").alias("jump")
                 )
-                jumped = stepped.join(parent, "component", "left").select(
-                    "id", F.coalesce("jump", "component").alias("component")
-                ).localCheckpoint(eager=True)
+                # truncate_plan: stepped/jumped reference comp twice per
+                # contraction round (neighbor push + compare) — the
+                # diamond (plans/checkpointing.truncate_plan)
+                jumped = truncate_plan(
+                    stepped.join(parent, "component", "left").select(
+                        "id", F.coalesce("jump", "component").alias("component")
+                    )
+                )
                 changed = (
                     jumped.join(comp.withColumnRenamed("component", "prev"), "id")
                     .filter(F.col("component") != F.col("prev"))
@@ -122,17 +134,19 @@ def mst(
                     break
     pairs.unpersist()
 
-    if chosen is None:
+    if not chosen_frames:
         tree = spark.createDataFrame([], "src long, dst long, weight double")
     else:
-        tree = chosen
+        tree = chosen_frames[0]
+        for f in chosen_frames[1:]:
+            tree = tree.unionByName(f)
     n_components = 1
     if start_node is not None:
         # ref MSTPrim semantics: the tree of the start node's component
         # ONLY. `comp` holds edge endpoints, so a start node with no
         # edges is absent from it — its "tree" is empty (never the
         # whole forest).
-        comp_of_start = comp.filter(F.col("id") == start_node).collect() if chosen is not None else []
+        comp_of_start = comp.filter(F.col("id") == start_node).collect() if chosen_frames else []
         if comp_of_start:
             c = comp_of_start[0]["component"]
             member = comp.filter(F.col("component") == c).select(F.col("id").alias("src"))
@@ -140,7 +154,7 @@ def mst(
         else:
             tree = spark.createDataFrame([], "src long, dst long, weight double")
             n_components = 0
-    elif chosen is not None:
+    elif chosen_frames:
         # unfiltered forest: one tree per component of the input
         n_components = comp.select("component").distinct().count()
     else:

@@ -154,13 +154,11 @@ def pagerank(
     spark = graph.edges.sparkSession
     t0 = time.time()
 
-    # int-id compression (shared Heavy-vs-Huge analogue, see
-    # graph.compact_id_type). inv_deg and messages stay float64: a
-    # float32 reciprocal costs ~3e-8 per hop (measured) — too close to
-    # the 1e-6 parity bar.
-    from ..graph import compact_id_type
-
-    id_t = compact_id_type(graph.edges)
+    # int-id compression (shared Heavy-vs-Huge analogue; bound scan
+    # cached per snapshot via graph.id_type). inv_deg and messages stay
+    # float64: a float32 reciprocal costs ~3e-8 per hop (measured) —
+    # too close to the 1e-6 parity bar.
+    id_t = graph.id_type()
 
     out_deg = graph.out_degrees().select(
         F.col("id").cast(id_t).alias("src"), F.col("degree")

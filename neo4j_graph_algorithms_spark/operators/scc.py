@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpointing import adaptive_disabled, check_termination
+from ..plans.checkpointing import adaptive_disabled, check_termination, truncate_plan
 
 
 def scc(
@@ -54,24 +54,44 @@ def scc(
     spark = graph.edges.sparkSession
     t0 = time.time()
     n_parts = spark.sparkContext.defaultParallelism
+    # int-id compression (cached Heavy-vs-Huge analogue, graph.id_type):
+    # the color-propagation fixpoint — the hot inner loop — shuffles
+    # (id, color) tuples every round; both columns halve on int32 ids
+    id_t = graph.id_type()
     edges_all = (
-        graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+        graph.edges.select(
+            F.col("src").cast(id_t).alias("src"), F.col("dst").cast(id_t).alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst")).distinct()
         .repartition(n_parts, "src").persist()
     )
     edges_all.count()
 
-    active = graph.nodes.select("id")
-    assigned: DataFrame | None = None
+    active = graph.nodes.select(F.col("id").cast(id_t).alias("id"))
+    # per-round assignment frames: each is a cheap projection of frames
+    # already materialized inside the round (trim keep-sets, reached
+    # sweeps), so they are collected LAZILY and unioned once at the end
+    # — the old union+localCheckpoint per assign() call rewrote the
+    # entire O(assigned) accumulator every trim peel and every outer
+    # round (O(rounds × V) copies on a deep condensation chain)
+    assigned_frames: list[DataFrame] = []
     outer = 0
 
     def assign(df: DataFrame) -> None:
-        nonlocal assigned
-        assigned = df if assigned is None else assigned.unionByName(df)
-        assigned = assigned.localCheckpoint(eager=True)
+        assigned_frames.append(df)
 
     converged = False
     with adaptive_disabled(spark):
-        active = active.localCheckpoint(eager=True)
+        # per-round state frames go through truncate_plan (not plain
+        # localCheckpoint): active/color/reached all sit in diamond-
+        # shaped update loops whose checkpoint-origin chains otherwise
+        # grow exponentially with round count — a >20-link condensation
+        # chain or >20-node cycle would hang the driver in stats
+        # estimation (plans/checkpointing.truncate_plan). `sub` keeps a
+        # plain localCheckpoint: its origin is shallow (persisted edges
+        # ⨝ severed active) and the preserved src-partitioning is what
+        # keeps the color fixpoint's per-round join exchange-free.
+        active = truncate_plan(active)
         while max_outer is None or outer < max_outer:
             check_termination(spark, termination, outer)
             outer += 1
@@ -95,7 +115,7 @@ def scc(
                 has_out = sub.select(F.col("src").alias("id")).distinct()
                 has_in = sub.select(F.col("dst").alias("id")).distinct()
                 keep = active.join(has_out, "id", "left_semi").join(has_in, "id", "left_semi")
-                keep = keep.localCheckpoint(eager=True)
+                keep = truncate_plan(keep)
                 trimmed = active.join(keep, "id", "left_anti")
                 n_trimmed = trimmed.count()
                 if n_trimmed == 0:
@@ -119,9 +139,11 @@ def scc(
                     .groupBy(F.col("dst").alias("id"))
                     .agg(F.max("color").alias("nc"))
                 )
-                stepped = color.join(pushed, "id", "left").select(
-                    "id", F.greatest("color", F.coalesce("nc", "color")).alias("color")
-                ).localCheckpoint(eager=True)
+                stepped = truncate_plan(
+                    color.join(pushed, "id", "left").select(
+                        "id", F.greatest("color", F.coalesce("nc", "color")).alias("color")
+                    )
+                )
                 changed = (
                     stepped.join(color.withColumnRenamed("color", "prev"), "id")
                     .filter(F.col("color") != F.col("prev"))
@@ -130,13 +152,20 @@ def scc(
                 color = stepped
                 if changed == 0:
                     break
-            # 3. backward sweep from each color root within its class
+            # 3. backward sweep from each color root within its class.
+            # `reached` accumulates as a lazy union of the per-step
+            # frames (each checkpointed once as `step`); the anti-join
+            # probes that union — never a per-step rewrite of the whole
+            # reached set (re-folded every 64 steps to bound plan width)
             roots = color.filter(F.col("id") == F.col("color")).select("color")
-            reached = roots.select(F.col("color").alias("id"), "color")
-            reached = reached.localCheckpoint(eager=True)
-            frontier = reached
+            step = roots.select(
+                F.col("color").alias("id"), "color"
+            ).localCheckpoint(eager=True)
+            reached = step
+            frontier = step
+            sweep_steps = 1
             while True:
-                step = (
+                step = truncate_plan(
                     sub.join(frontier.select(F.col("id").alias("dst"), "color"), "dst")
                     .select(F.col("src").alias("id"), "color")
                     .distinct()
@@ -144,16 +173,20 @@ def scc(
                     .filter(F.col("color") == F.col("c2"))
                     .select("id", "color")
                     .join(reached, ["id", "color"], "left_anti")
-                    .localCheckpoint(eager=True)
                 )
                 if step.isEmpty():
                     break
-                reached = reached.unionByName(step).localCheckpoint(eager=True)
+                reached = reached.unionByName(step)
+                sweep_steps += 1
+                if sweep_steps % 64 == 0:
+                    reached = truncate_plan(reached)
                 frontier = step
             # SCC id = min node id of the reached set per color
             mins = reached.groupBy("color").agg(F.min("id").alias("component"))
             assign(reached.join(mins, "color").select("id", "component"))
-            active = active.join(reached.select("id"), "id", "left_anti").localCheckpoint(eager=True)
+            active = truncate_plan(
+                active.join(reached.select("id"), "id", "left_anti")
+            )
 
     if not converged:
         converged = active.isEmpty()
@@ -165,9 +198,16 @@ def scc(
             f"{n_left} nodes unassigned (didConverge=False) — raise the "
             "cap (a chain-shaped SCC condensation needs one round per link)"
         )
-    result = assigned if assigned is not None else graph.nodes.select(
-        "id", F.col("id").alias("component")
-    )
+    if assigned_frames:
+        acc = assigned_frames[0]
+        for f in assigned_frames[1:]:
+            acc = acc.unionByName(f)
+        result = acc.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("component").cast("long").alias("component"),
+        )
+    else:
+        result = graph.nodes.select("id", F.col("id").alias("component"))
     stats = {
         "outerRounds": outer,
         "didConverge": converged,

@@ -31,13 +31,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph
-from ..plans.checkpointing import adaptive_disabled, check_termination
+from ..plans.checkpointing import adaptive_disabled, check_termination, truncate_plan
 
 INF = float("inf")
 
 
 def _prep_edges(graph: Graph, direction: str) -> DataFrame:
-    e = graph.edges.select("src", "dst", "weight")
+    # int-id compression (cached Heavy-vs-Huge analogue, graph.id_type):
+    # every relaxation round joins edges against the frontier and
+    # shuffles (id, distance) candidates — int32-safe ids halve the key
+    # bytes. Public results cast back to long at the exit points.
+    id_t = graph.id_type()
+    e = graph.edges.select(
+        F.col("src").cast(id_t).alias("src"),
+        F.col("dst").cast(id_t).alias("dst"),
+        "weight",
+    )
     if direction == "in":
         e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     elif direction == "both":
@@ -64,10 +73,11 @@ def shortest_paths(
     edges = edges.repartition(n_parts, "src").persist()
     edges.count()
 
+    id_t = graph.id_type()
     dist = graph.nodes.select(
-        "id",
+        F.col("id").cast(id_t).alias("id"),
         F.when(F.col("id") == source, 0.0).otherwise(F.lit(INF)).alias("distance"),
-        *( [F.lit(None).cast("long").alias("pred")] if with_predecessor else [] ),
+        *( [F.lit(None).cast(id_t).alias("pred")] if with_predecessor else [] ),
     )
     frontier = dist.filter(F.col("distance") < INF)
     ran = 0
@@ -101,15 +111,24 @@ def shortest_paths(
                     F.least(F.col("distance"), F.coalesce(F.col("nd"), F.lit(INF))).alias("distance"),
                     (F.coalesce(F.col("nd"), F.lit(INF)) < F.col("distance")).alias("_imp"),
                 ]
-            nxt = merged.select(*improved_cols).localCheckpoint(eager=True)
-            frontier = nxt.filter(F.col("_imp")).drop("_imp").localCheckpoint(eager=True)
+            # truncate_plan, not plain localCheckpoint: dist and frontier
+            # both derive from `merged`, which references the previous
+            # dist AND frontier — the diamond whose checkpoint-origin
+            # chain otherwise grows exponentially with relaxation rounds
+            # (a >20-hop weighted path would hang the driver in stats
+            # estimation; see plans/checkpointing.truncate_plan)
+            nxt = truncate_plan(merged.select(*improved_cols))
+            frontier = nxt.filter(F.col("_imp")).drop("_imp")
             dist = nxt.drop("_imp")
             ran = it
             if frontier.isEmpty():
                 break
     edges.unpersist()
     stats = {"iterations": ran, "computeMillis": int((time.time() - t0) * 1000)}
-    return dist, stats
+    out_cols = [F.col("id").cast("long").alias("id"), F.col("distance")]
+    if with_predecessor:
+        out_cols.append(F.col("pred").cast("long").alias("pred"))
+    return dist.select(*out_cols), stats
 
 
 def delta_stepping(
@@ -139,7 +158,8 @@ def delta_stepping(
     light.count(), heavy.count()
 
     dist = graph.nodes.select(
-        "id", F.when(F.col("id") == source, 0.0).otherwise(F.lit(INF)).alias("distance")
+        F.col("id").cast(graph.id_type()).alias("id"),
+        F.when(F.col("id") == source, 0.0).otherwise(F.lit(INF)).alias("distance"),
     )
     rounds = 0
 
@@ -172,10 +192,14 @@ def delta_stepping(
                     break
                 bucket = int(nxt // delta)
                 continue
-            # settle the band over light edges
+            # settle the band over light edges. truncate_plan on the
+            # distance state: nd references dist twice (relax + the
+            # new-band compare) — the diamond whose checkpoint-origin
+            # chain otherwise grows exponentially with relax rounds
+            # (plans/checkpointing.truncate_plan)
             while True:
                 rounds += 1
-                nd = relax(dist, band, light).localCheckpoint(eager=True)
+                nd = truncate_plan(relax(dist, band, light))
                 new_band = (
                     nd.join(dist.withColumnRenamed("distance", "old"), "id")
                     .filter((F.col("distance") < F.col("old")) & (F.col("distance") < hi))
@@ -189,12 +213,12 @@ def delta_stepping(
             # heavy edges once for the settled band
             settled = dist.filter((F.col("distance") >= lo) & (F.col("distance") < hi))
             rounds += 1
-            dist = relax(dist, settled, heavy).localCheckpoint(eager=True)
+            dist = truncate_plan(relax(dist, settled, heavy))
             bucket += 1
     for df in (edges, light, heavy):
         df.unpersist()
     stats = {"relaxRounds": rounds, "computeMillis": int((time.time() - t0) * 1000)}
-    return dist, stats
+    return dist.select(F.col("id").cast("long").alias("id"), "distance"), stats
 
 
 def all_shortest_paths_weighted(
@@ -228,13 +252,16 @@ def all_shortest_paths_weighted(
     edges = edges.repartition(n_parts, "src").persist()
     edges.count()
 
-    nodes = graph.nodes.select("id")
+    nodes = graph.nodes.select(F.col("id").cast(graph.id_type()).alias("id"))
     n_sources = nodes.count()
     n_waves = max(1, -(-n_sources // wave_size))
     if n_waves > 1:
         nodes = nodes.withColumn("_wave", F.pmod(F.xxhash64("id"), F.lit(n_waves)))
 
-    results: DataFrame | None = None
+    # per-wave result frames: each is a lazy projection of that wave's
+    # final (checkpointed) distance frame — collected in a list and
+    # unioned once, never re-materializing the O(V²) accumulator per wave
+    result_frames: list[DataFrame] = []
     with adaptive_disabled(spark):
         for wv in range(n_waves):
             wave_src = (
@@ -259,28 +286,40 @@ def all_shortest_paths_weighted(
                     .groupBy("source", F.col("dst").alias("node"))
                     .agg(F.min(F.col("ds") + F.col("weight")).alias("nd"))
                 )
-                merged = dist.join(cand, ["source", "node"], "full").select(
-                    "source", "node",
-                    F.least(
-                        F.coalesce(F.col("distance"), F.lit(INF)),
-                        F.coalesce(F.col("nd"), F.lit(INF)),
-                    ).alias("distance"),
-                    (
-                        F.coalesce(F.col("nd"), F.lit(INF))
-                        < F.coalesce(F.col("distance"), F.lit(INF))
-                    ).alias("_imp"),
-                ).localCheckpoint(eager=True)
+                # truncate_plan: merged references dist AND the frontier
+                # (itself derived from the previous merged) — the diamond
+                # (plans/checkpointing.truncate_plan)
+                merged = truncate_plan(
+                    dist.join(cand, ["source", "node"], "full").select(
+                        "source", "node",
+                        F.least(
+                            F.coalesce(F.col("distance"), F.lit(INF)),
+                            F.coalesce(F.col("nd"), F.lit(INF)),
+                        ).alias("distance"),
+                        (
+                            F.coalesce(F.col("nd"), F.lit(INF))
+                            < F.coalesce(F.col("distance"), F.lit(INF))
+                        ).alias("_imp"),
+                    )
+                )
                 frontier = merged.filter(F.col("_imp")).select("source", "node", "distance")
                 dist = merged.select("source", "node", "distance")
                 if frontier.isEmpty():
                     break
-            rows = dist.select("source", F.col("node").alias("target"), "distance")
-            results = rows if results is None else results.unionByName(rows)
-            results = results.localCheckpoint(eager=True)
+            result_frames.append(
+                dist.select(
+                    F.col("source").cast("long").alias("source"),
+                    F.col("node").cast("long").alias("target"),
+                    "distance",
+                )
+            )
     edges.unpersist()
-    if results is None:
+    if not result_frames:
         return spark.createDataFrame([], "source long, target long, distance double")
-    return results
+    out = result_frames[0]
+    for f in result_frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def shortest_path(

@@ -38,19 +38,24 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..graph import Graph, compact_id_type, degrees, undirect
+from ..graph import Graph, degrees, undirect
 
 
-def _oriented(graph: Graph, by_degree: bool) -> tuple[DataFrame, DataFrame]:
+_BROADCAST_DEGREE_MAX_NODES = 5_000_000
+
+
+def _oriented(
+    graph: Graph, by_degree: bool, broadcast_degrees: bool | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(oriented edge set with src<dst per pair, undirected degrees).
 
     Ids are int-compressed when they fit int32 (shared Heavy-vs-Huge
-    analogue, graph.compact_id_type): the wedge self-join and the
-    left_semi close are the two big shuffles of the plan, and both move
-    a third fewer bytes on int tuples. `triangle_stream` casts the
-    emitted triples back to long."""
+    analogue, cached per snapshot via graph.id_type): the wedge
+    self-join and the left_semi close are the two big shuffles of the
+    plan, and both move a third fewer bytes on int tuples.
+    `triangle_stream` casts the emitted triples back to long."""
     edges = graph.edges
-    if compact_id_type(edges) == "int":
+    if graph.id_type() == "int":
         edges = edges.select(
             F.col("src").cast("int").alias("src"),
             F.col("dst").cast("int").alias("dst"),
@@ -65,8 +70,21 @@ def _oriented(graph: Graph, by_degree: bool) -> tuple[DataFrame, DataFrame]:
     # filter: one full shuffle less, same result (measured: the degree
     # default's r2 bench regression was mostly this extra stage).
     if by_degree:
-        dsrc = deg.select(F.col("id").alias("src"), F.col("degree").alias("_dsrc"))
-        ddst = deg.select(F.col("id").alias("dst"), F.col("degree").alias("_ddst"))
+        # the two degree joins are the only shuffles the degree
+        # orientation adds over the id orientation (the r2→r3 bench
+        # regression was exactly their cost). Degrees are O(V) —
+        # (id, count) rows, a few MB up to millions of nodes — so
+        # BROADCAST them whenever V is plausibly under the driver/
+        # executor budget and both joins become map-side over the
+        # cached undirected set: zero extra shuffles, same plan shape
+        # the id orientation gets. Above the cutoff (or with
+        # broadcast_degrees=False) fall back to the shuffle join —
+        # the correct default at the billions-of-nodes scale.
+        if broadcast_degrees is None:
+            broadcast_degrees = graph.node_count() <= _BROADCAST_DEGREE_MAX_NODES
+        degj = F.broadcast(deg) if broadcast_degrees else deg
+        dsrc = degj.select(F.col("id").alias("src"), F.col("degree").alias("_dsrc"))
+        ddst = degj.select(F.col("id").alias("dst"), F.col("degree").alias("_ddst"))
         ori = (
             und.join(dsrc, "src").join(ddst, "dst")
             .filter(
@@ -80,12 +98,16 @@ def _oriented(graph: Graph, by_degree: bool) -> tuple[DataFrame, DataFrame]:
 
 
 def triangle_stream(
-    graph: Graph, by_degree: bool = True, _oriented_deg=None
+    graph: Graph, by_degree: bool = True, _oriented_deg=None,
+    broadcast_degrees: bool | None = None,
 ) -> DataFrame:
     """All triangles as (a, b, c) rows, each unordered triple once,
     corners sorted ascending (deterministic; ref TriangleStream emits
     node-id ordered triples from the u<s<t scan)."""
-    ori, _ = _oriented_deg if _oriented_deg is not None else _oriented(graph, by_degree)
+    ori, _ = (
+        _oriented_deg if _oriented_deg is not None
+        else _oriented(graph, by_degree, broadcast_degrees)
+    )
     e1 = ori.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = ori.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = ori.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -106,7 +128,7 @@ def triangle_stream(
 
 
 def triangle_count(
-    graph: Graph, by_degree: bool = True
+    graph: Graph, by_degree: bool = True, broadcast_degrees: bool | None = None
 ) -> tuple[DataFrame, dict]:
     """Returns (per_node(id, triangles, coefficient), stats with
     triangleCount / averageClusteringCoefficient) — the combined
@@ -116,7 +138,7 @@ def triangle_count(
     # one orientation pass: the (oriented, degree) pair feeds both the
     # wedge-close plan and the coefficient denominator — the undirected
     # doubling + degree agg is computed once, not once per consumer
-    ori_deg = _oriented(graph, by_degree)
+    ori_deg = _oriented(graph, by_degree, broadcast_degrees)
     tri = triangle_stream(graph, by_degree=by_degree, _oriented_deg=ori_deg).persist()
     total = tri.count()
 

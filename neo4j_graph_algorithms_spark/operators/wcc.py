@@ -71,8 +71,6 @@ def wcc(
     "resumable from checkpoint" contract, same shape as
     `pagerank(resume=True)`).
     """
-    from ..graph import compact_id_type
-
     spark = graph.edges.sparkSession
     t0 = time.time()
 
@@ -82,11 +80,11 @@ def wcc(
         edges = edges.filter(F.col("weight") >= threshold)
     # int-id compression (shared Heavy-vs-Huge analogue): component
     # labels are node ids, so both the edge tuples AND the label frame
-    # shrink when every id — including isolated nodes — fits int32
-    id_t = "int" if (
-        compact_id_type(edges) == "int"
-        and compact_id_type(graph.nodes, ("id",)) == "int"
-    ) else "long"
+    # shrink when every id — including isolated nodes — fits int32.
+    # graph.id_type() covers nodes AND edges and is cached per snapshot
+    # (the threshold-filtered edge set is a subset, so the unfiltered
+    # bound is a safe over-approximation).
+    id_t = graph.id_type()
     sym = (
         edges.select(F.col("src").cast(id_t).alias("src"), F.col("dst").cast(id_t).alias("dst"))
         .unionByName(

@@ -150,7 +150,10 @@ def minhash_signatures(
 
 
 def _cap_hot_buckets(
-    bucketed: DataFrame, keys: list[str], max_bucket_df: int | None
+    bucketed: DataFrame,
+    keys: list[str],
+    max_bucket_df: int | None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Drop LSH buckets whose membership exceeds ``max_bucket_df``.
 
@@ -160,21 +163,35 @@ def _cap_hot_buckets(
     pair fan-out to O(max_bucket_df²); dropped buckets are counted and
     logged (members of a dropped mega-cluster are exactly the docs that
     exact/sha dedup already catches). Same precedent as
-    ``ngram_jaccard_pairs``'s ``max_shingle_df``."""
+    ``ngram_jaccard_pairs``'s ``max_shingle_df``.
+
+    ``stats``, when passed, receives ``dropped_buckets`` and
+    ``dropped_rows`` (bucket-membership rows removed, i.e. Σ|dropped
+    bucket|) so callers can surface coverage loss in their result
+    contract instead of a log line."""
     if max_bucket_df is None:
+        if stats is not None:
+            stats["dropped_buckets"] = 0
+            stats["dropped_rows"] = 0
         return bucketed
     import logging
 
     counts = bucketed.groupBy(*keys).agg(F.count("*").alias("_df")).persist()
-    dropped = counts.filter(F.col("_df") > max_bucket_df).count()
+    hot = counts.filter(F.col("_df") > max_bucket_df).agg(
+        F.count("*").alias("n"), F.coalesce(F.sum("_df"), F.lit(0)).alias("rows")
+    ).collect()[0]
+    dropped, dropped_rows = int(hot["n"]), int(hot["rows"])
+    if stats is not None:
+        stats["dropped_buckets"] = dropped
+        stats["dropped_rows"] = dropped_rows
     if dropped == 0:
         # healthy corpus — skip the semi-join and full materialization
         counts.unpersist()
         return bucketed
     logging.getLogger(__name__).warning(
-        "LSH: dropping %d hot buckets (> %d members) from candidate "
-        "generation — their pairs are not emitted",
-        dropped, max_bucket_df,
+        "LSH: dropping %d hot buckets (%d membership rows, > %d members "
+        "each) from candidate generation — their pairs are not emitted",
+        dropped, dropped_rows, max_bucket_df,
     )
     out = bucketed.join(
         counts.filter(F.col("_df") <= max_bucket_df).select(*keys), keys, "left_semi"
@@ -193,6 +210,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     seed: int = 42,
     max_bucket_df: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard_est) whose estimated
     Jaccard (signature agreement rate) ≥ threshold.
@@ -223,7 +241,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_df)
+    banded = _cap_hot_buckets(banded, ["band", "bucket"], max_bucket_df, stats=stats)
     left = banded.select("band", "bucket", F.col("id").alias("id_a"))
     right = banded.select("band", "bucket", F.col("id").alias("id_b"))
     cands = (
@@ -318,14 +336,23 @@ def simhash_near_pairs(
     max_distance: int = 3,
     shingle_k: int = 4,
     max_bucket_df: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) ≤ max_distance.
 
     Pigeonhole bucketing: with 4 16-bit chunks, any pair within
     distance ≤ 3 shares at least one exact chunk → 4 equi-joins instead
     of an n² scan (requires max_distance ≤ 3 for exactness; larger
-    distances need more/smaller chunks). ``max_bucket_df`` caps
-    degenerate (chunk, val) buckets — see `_cap_hot_buckets`."""
+    distances need more/smaller chunks).
+
+    EXACTNESS CAVEAT: the pigeonhole guarantee holds only with
+    ``max_bucket_df=None``. Setting the cap drops hot (chunk, val)
+    buckets, and a true pair whose EVERY shared chunk lands in a
+    dropped bucket is silently lost — the cap trades exactly those
+    mega-cluster pairs (which exact/sha dedup already catches) for a
+    bounded candidate join. Pass ``stats={}`` to receive
+    ``dropped_buckets`` / ``dropped_rows`` in the caller's dict and
+    surface the coverage loss in your pipeline's result contract."""
     sigs = simhash64(docs, text_col, id_col, shingle_k).persist()
     # per-chunk value shifts by 16·chunk — SQL expr since the shift
     # amount is itself an expression
@@ -333,7 +360,7 @@ def simhash_near_pairs(
         "id", "simhash",
         "explode(transform(sequence(0, 3), c -> struct(c as chunk, (shiftright(simhash, cast(c*16 as int)) & 65535) as val))) as x",
     ).select("id", "simhash", "x.chunk", "x.val")
-    chunks = _cap_hot_buckets(chunks, ["chunk", "val"], max_bucket_df)
+    chunks = _cap_hot_buckets(chunks, ["chunk", "val"], max_bucket_df, stats=stats)
     left = chunks.select("chunk", "val", F.col("id").alias("id_a"), F.col("simhash").alias("s_a"))
     right = chunks.select("chunk", "val", F.col("id").alias("id_b"), F.col("simhash").alias("s_b"))
     cands = (

@@ -95,8 +95,19 @@ def lsh_cosine_topk(
     n_bits: int = 12,
     dim: int | None = None,
     seed: int = 42,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-LSH candidates + exact re-rank."""
+    """Approximate top-k: hyperplane-LSH candidates + exact re-rank.
+
+    ``max_bucket_df`` caps the CORPUS-side membership of each
+    (table, bucket) before the candidate join — the same hot-bucket
+    guard as every near-pair path (`dedup._cap_hot_buckets`): a giant
+    near-identical embedding cluster otherwise lands in one bucket of
+    every table and yields O(|Q_bucket|·|C_bucket|) candidates. Queries
+    whose buckets are dropped in one table still probe their other
+    ``n_tables − 1`` buckets (and the result is approximate by
+    construction); dropped-bucket counts are logged by the capper.
+    """
     import numpy as np
 
     if dim is None:
@@ -106,12 +117,31 @@ def lsh_cosine_topk(
 
     qs = _signatures(queries, id_col, vec_col, planes, "q").withColumnRenamed("id", "query_id")
     cs = _signatures(corpus, id_col, vec_col, planes, "c").withColumnRenamed("id", "neighbor_id")
-    cands = (
-        qs.join(cs, ["table", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
+    if max_bucket_df is not None:
+        from .dedup import _cap_hot_buckets
+
+        # persist: the capper reads the signature table twice (bucket
+        # counts + semi-join) and the candidate join once more — without
+        # the cache each pass recomputes the whole-corpus matmul. The
+        # candidate list is materialized below so the cache can be
+        # released before returning (no persisted frames leak out).
+        raw_cs = cs.persist()
+        cs = _cap_hot_buckets(raw_cs, ["table", "bucket"], max_bucket_df)
+        cands = (
+            qs.join(cs, ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        raw_cs.unpersist()
+    else:
+        cands = (
+            qs.join(cs, ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
     qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv"))
     sims = cands.join(qv, "query_id").join(cv, "neighbor_id").select(
@@ -132,9 +162,17 @@ def ivf_cosine_topk(
     nprobe: int = 4,
     lloyd_rounds: int = 2,
     seed: int = 42,
+    max_cell_df: int | None = None,
 ) -> DataFrame:
     """IVF ANN: seeded-sample centroids refined with a few distributed
-    Lloyd rounds; queries probe their `nprobe` nearest cells."""
+    Lloyd rounds; queries probe their `nprobe` nearest cells.
+
+    ``max_cell_df`` caps the corpus-side membership of each inverted
+    cell before the probe join (the IVF analogue of the LSH hot-bucket
+    cap): a degenerate near-identical cluster collapses into one cell
+    and every query probing it pays O(|cell|) candidates. Queries still
+    probe their other ``nprobe − 1`` cells; dropped-cell counts are
+    logged by the capper."""
     import numpy as np
 
     spark = corpus.sparkSession
@@ -192,6 +230,10 @@ def ivf_cosine_topk(
         cents = newc
 
     cell_of = assign_cells(c.withColumnRenamed("cv", "v"), "neighbor_id", 1).persist()
+    if max_cell_df is not None:
+        from .dedup import _cap_hot_buckets
+
+        cell_of = _cap_hot_buckets(cell_of, ["cell"], max_cell_df)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")).persist()
     q_cells = assign_cells(q.withColumnRenamed("qv", "v"), "query_id", nprobe)
 

@@ -81,6 +81,50 @@ def check_termination(spark: SparkSession, termination, step: int | None = None)
         )
 
 
+def truncate_plan(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint + SEVER the checkpoint's origin-plan link —
+    the required materialization primitive for every iterative kernel
+    state frame.
+
+    `Dataset.localCheckpoint` truncates the RDD lineage, but the
+    returned DataFrame's `LogicalRDD` keeps a reference to the ORIGIN
+    logical plan for stats/constraint propagation. In a superstep loop
+    whose state references the previous state twice (any frontier/
+    accumulator "diamond": `nxt = f(state, frontier)` then
+    `state' = g(state, nxt)`), those origin references form a DAG that
+    doubles every iteration — and Catalyst's size-estimation visitor
+    (`SizeInBytesOnlyStatsPlanVisitor`, run while planning every join)
+    walks it WITHOUT memoization across plan copies. Measured on this
+    sandbox (Spark 4.1, 64k-row state, constant 2-stage/16-task jobs):
+    per-step wall time is flat to ~depth 16, then ×2.5 per step —
+    0.1 s at depth 15, 33 s at depth 23, driver-bound in
+    `LogicalPlanStats.stats` (thread dumps) — i.e., every BFS-family
+    kernel hangs on any graph of diameter ≳22 REGARDLESS of data size.
+
+    Rebuilding the frame from the checkpointed RDD
+    (`internalCreateDataFrame` — `private[sql]`, hence public in
+    bytecode and callable through py4j) drops the origin reference:
+    the plan becomes a pure LogicalRDD leaf and per-step cost is flat
+    through arbitrary depth (re-measured flat to depth 26+). Trade-off:
+    the severed LogicalRDD no longer advertises outputPartitioning, so
+    a downstream join keyed on the frame's partitioning re-shuffles it.
+    That is the right trade for O(V)-ish per-round STATE frames (they
+    shuffle per round by design; the stationary O(E) edge caches use
+    `persist()` and are untouched). Falls back to the plain checkpoint
+    on non-classic sessions (e.g. Spark Connect) or API drift.
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jdf = ck._jdf
+        jspark = ck.sparkSession._jsparkSession
+        new_jdf = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(new_jdf, ck.sparkSession)
+    except Exception:
+        return ck
+
+
 @contextmanager
 def adaptive_disabled(spark: SparkSession):
     """Disable AQE for the duration of a superstep loop.
@@ -155,13 +199,16 @@ class IterationCache:
                 f.write("ok")
             self._gc(keep=2)
         else:
-            # eager localCheckpoint EVERY step: materializes AND
-            # truncates lineage. A plain persist() keeps the full
-            # logical tree, and Catalyst re-analysis over the growing
-            # InMemoryRelation chain degrades per-superstep cost from
-            # ~0.5s to tens of seconds within 8 iterations (measured);
-            # lineage truncation is what keeps iteration O(1) per step.
-            out = df.localCheckpoint(eager=True)
+            # eager checkpoint EVERY step, with the origin-plan link
+            # severed (`truncate_plan`): materializes, truncates RDD
+            # lineage, AND truncates the LOGICAL origin chain. A plain
+            # persist() keeps the full logical tree (measured: per-step
+            # cost degrades 0.5s → tens of seconds within 8 iterations);
+            # a plain localCheckpoint() keeps the origin-plan reference,
+            # whose stats walk turns exponential past ~16 steps on any
+            # state with a frontier/accumulator diamond (see
+            # truncate_plan's docstring for the measured blowup).
+            out = truncate_plan(df)
         if self._prev is not None:
             try:
                 self._prev.unpersist()

@@ -122,7 +122,19 @@ class IncrementalWCC:
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump({"buckets": buckets, "n_buckets": self.n_buckets}, fh)
+            # fsync BEFORE the rename: os.replace alone is atomic against
+            # process crashes but not power loss — without the flush+fsync
+            # the journal can replay the rename before the data blocks,
+            # landing a torn/empty manifest as the "committed" snapshot
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(tmp, self.manifest_path)  # the atomic commit point
+        # fsync the parent directory so the rename itself is durable
+        dfd = os.open(os.path.dirname(self.manifest_path), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def _load_state(self) -> DataFrame | None:
         manifest = self._read_manifest()
@@ -217,7 +229,36 @@ class IncrementalWCC:
                 if v != current:
                     shutil.rmtree(os.path.join(bdir, v), ignore_errors=True)
 
+    def _sweep_orphans(self) -> None:
+        """GC version dirs the committed manifest doesn't reference —
+        across ALL buckets, not just ones a batch touches.
+
+        The per-batch GC only sweeps affected buckets, so a version dir
+        orphaned by a crash (renamed into place before the manifest swap
+        failed) in a bucket that never gets touched again would
+        accumulate forever. Run on sink start: anything not named by the
+        committed manifest is garbage by construction (renames happen
+        before commit; replays use fresh uniquified dirs)."""
+        import shutil
+
+        manifest = self._read_manifest() or {}
+        if not os.path.isdir(self.path):
+            return
+        for entry in os.listdir(self.path):
+            full = os.path.join(self.path, entry)
+            if entry.startswith("_staging_"):
+                shutil.rmtree(full, ignore_errors=True)
+                continue
+            if not entry.startswith("bucket=") or not os.path.isdir(full):
+                continue
+            b = entry.split("=", 1)[1]
+            current = os.path.basename(manifest.get(b, ""))
+            for v in os.listdir(full):
+                if v != current:
+                    shutil.rmtree(os.path.join(full, v), ignore_errors=True)
+
     def start(self, edge_stream: DataFrame, checkpoint: str | None = None):
+        self._sweep_orphans()
         q = (
             edge_stream.writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint or os.path.join(self.state_dir, "ckpt"))
