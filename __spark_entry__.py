@@ -811,6 +811,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         comm, _ = louvain(g, iterations=1)
         return comm
 
+    def q_louvain_multilevel(spark, sf):
+        # hierarchical Louvain (local moves + community contraction) —
+        # EXTENSION beyond the single-level reference (SURVEY §2.c 16b).
+        # Deterministic (parity half-steps + ascending-community argmax
+        # tie-break at every level) but not SQL-expressible: the driver
+        # records the rows-only check; the two-level collapse semantics
+        # are pinned by tests/test_round4.py's clique fixture.
+        from neo4j_graph_algorithms_spark.operators.louvain import louvain_multilevel
+
+        g = _doc_graph(spark, sf)
+        assign, _ = louvain_multilevel(g, levels=3, iterations=2)
+        return assign.select("id", "community")
+
     def q_closeness_hops4(spark, sf):
         # radius-bounded closeness (depths <= 4, OUT direction): the
         # MS-BFS farness aggregation with the reference's (n-1)/farness
@@ -993,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp_hops12": q_sssp_hops12,
         "apsp_hops4": q_apsp_hops4,
         "louvain": q_louvain,
+        "louvain_multilevel": q_louvain_multilevel,
         "closeness_hops4": q_closeness_hops4,
         "harmonic_hops4": q_harmonic_hops4,
         "betweenness_hops4": q_betweenness_hops4,

@@ -35,7 +35,15 @@ def louvain(
     iterations: int = 10,
     termination=None,
 ) -> tuple[DataFrame, dict]:
-    """Returns (communities(id, community), stats with ranIterations)."""
+    """Returns (communities(id, community), stats with ranIterations).
+
+    Self-loops (absent from the reference's test graphs, but the
+    carrier of intra-community mass on the CONTRACTED graphs of
+    `louvain_multilevel`) count into the weighted degree k_i and into
+    m2 with weight 2w (the A_ii = 2w convention, so m2 = Σ k_i holds);
+    they never appear as vote edges — a node's self-mass moves with it.
+    Graphs without self-loops are bit-for-bit unaffected.
+    """
     spark = graph.edges.sparkSession
     t0 = time.time()
     n_parts = spark.sparkContext.defaultParallelism
@@ -46,11 +54,24 @@ def louvain(
     # frame moves per round; src-partitioning here was the wrong key
     # and re-shuffled O(E) twice per iteration)
     sym = undirect(graph.edges, dedup=True).repartition(n_parts, "dst").persist()
-    m2 = sym.agg(F.sum("weight")).collect()[0][0] or 1.0  # == 2m
+    selfw = (
+        graph.edges.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg((F.lit(2.0) * F.sum("weight")).alias("sw"))
+    )
+    m2 = (sym.agg(F.sum("weight")).collect()[0][0] or 0.0) + (
+        selfw.agg(F.sum("sw")).collect()[0][0] or 0.0
+    )
+    m2 = m2 or 1.0  # == 2m
     # sym holds both orientations, so weighted degree grouped by dst ==
     # grouped by src — and the dst grouping reuses the cached
     # partitioning (no exchange)
-    k = sym.groupBy(F.col("dst").alias("id")).agg(F.sum("weight").alias("k")).persist()
+    k = (
+        sym.groupBy(F.col("dst").alias("id")).agg(F.sum("weight").alias("k"))
+        .join(selfw, "id", "left")
+        .select("id", (F.col("k") + F.coalesce(F.col("sw"), F.lit(0.0))).alias("k"))
+        .persist()
+    )
     k.count()
 
     comm = graph.nodes.select("id", F.col("id").alias("community"))
@@ -130,3 +151,79 @@ def louvain(
         "computeMillis": int((time.time() - t0) * 1000),
     }
     return comm, stats
+
+
+def louvain_multilevel(
+    graph: Graph,
+    levels: int = 5,
+    iterations: int = 10,
+    termination=None,
+) -> tuple[DataFrame, dict]:
+    """Hierarchical Louvain: local-move level → CONTRACT communities to
+    super-nodes → repeat until the partition stops shrinking.
+
+    The reference is single-level by design (`LouvainTest.java` asserts
+    one level of assignments), so `louvain` alone already meets parity;
+    this is the extension a community-detection user needs first at
+    100 TB, where one local-move level leaves millions of micro-
+    communities. Standard coarsening: the contracted graph has one node
+    per community, inter-community edges summed, intra-community mass
+    kept as SELF-LOOPS (counted into k/m2 by `louvain`, never vote
+    edges), so modularity on the contracted graph equals modularity of
+    the expanded partition and later levels make globally consistent
+    moves.
+
+    Returns (assignments(id, community) at ORIGINAL ids — community =
+    final super-node label, a level-0 node id) and stats with per-level
+    community counts. Contraction is two hash joins + one groupBy —
+    every step shuffles O(E_level), and E_level shrinks geometrically.
+    """
+    spark = graph.edges.sparkSession
+    t0 = time.time()
+    mapping = graph.nodes.select("id", F.col("id").alias("community"))
+    cur = graph
+    level_counts: list[int] = []
+    level_stats: list[dict] = []
+    for lvl in range(levels):
+        comm, st = louvain(cur, iterations=iterations, termination=termination)
+        level_counts.append(st["communityCount"])
+        level_stats.append(st)
+        n_before = cur.node_count()
+        if st["communityCount"] >= n_before:
+            break  # nothing merged — the hierarchy is done
+        comm = comm.localCheckpoint(eager=True)
+        # re-point every original node at its community's new label
+        mapping = mapping.join(
+            comm.select(F.col("id").alias("community"), F.col("community").alias("_nc")),
+            "community",
+        ).select("id", F.col("_nc").alias("community")).localCheckpoint(eager=True)
+        if lvl == levels - 1:
+            break
+        # contract: communities become nodes; ALL parallel/reciprocal
+        # edges between two communities sum into one canonical
+        # (low, high) row — `undirect(dedup)` takes max per direction,
+        # so leaving both directions here would drop weight — and
+        # intra-community edges become self-loops carrying their weight
+        cs = comm.select(F.col("id").alias("src"), F.col("community").alias("_cs"))
+        cd = comm.select(F.col("id").alias("dst"), F.col("community").alias("_cd"))
+        contracted = (
+            cur.edges.join(cs, "src").join(cd, "dst")
+            .groupBy(
+                F.least("_cs", "_cd").alias("src"),
+                F.greatest("_cs", "_cd").alias("dst"),
+            )
+            .agg(F.sum("weight").alias("weight"))
+        )
+        nodes = comm.select(F.col("community").alias("id")).distinct()
+        cur = Graph(
+            nodes=nodes.localCheckpoint(eager=True),
+            edges=contracted.localCheckpoint(eager=True),
+        )
+    stats = {
+        "levels": len(level_counts),
+        "communityCountPerLevel": level_counts,
+        "communityCount": level_counts[-1] if level_counts else 0,
+        "levelStats": level_stats,
+        "computeMillis": int((time.time() - t0) * 1000),
+    }
+    return mapping, stats

@@ -41,7 +41,7 @@ def _wrap_df(fn):
 def _registry() -> dict[str, Procedure]:
     from .operators.betweenness import betweenness
     from .operators.label_propagation import label_propagation
-    from .operators.louvain import louvain
+    from .operators.louvain import louvain, louvain_multilevel
     from .operators.msbfs import all_shortest_paths, closeness, harmonic
     from .operators.mst import mst
     from .operators.pagerank import pagerank
@@ -72,6 +72,7 @@ def _registry() -> dict[str, Procedure]:
         Procedure("algo.betweenness", "Brandes betweenness (BetweennessCentrality.java)", betweenness),
         Procedure("algo.betweenness.sampled", "RA-Brandes sampled betweenness (RABrandesBetweennessCentrality.java)", betweenness),
         Procedure("algo.louvain", "single-level Louvain (Louvain.java:99-140)", louvain),
+        Procedure("algo.louvain.multilevel", "hierarchical Louvain: local moves + community contraction (extension beyond the single-level reference)", louvain_multilevel),
     ]
     return {p.name: p for p in procs}
 

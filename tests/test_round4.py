@@ -309,6 +309,54 @@ def test_incremental_wcc_orphan_sweep(spark, tmp_path):
     assert comp1 == comp0
 
 
+# -------------------------------------------------------- multilevel louvain
+
+
+def _clique_edges(members):
+    return [
+        (a, b, 1.0) for i, a in enumerate(members) for b in members[i + 1:]
+    ]
+
+
+def test_louvain_multilevel_collapses_cliques(spark):
+    """Two 4-cliques + bridge: the hierarchy must end at exactly the two
+    cliques, every clique member sharing its clique-mates' label."""
+    from neo4j_graph_algorithms_spark.operators.louvain import louvain_multilevel
+
+    rows = _clique_edges([0, 1, 2, 3]) + _clique_edges([4, 5, 6, 7]) + [(3, 4, 1.0)]
+    g = Graph.from_edges(
+        spark.createDataFrame(rows, "src long, dst long, weight double")
+    )
+    assign, stats = louvain_multilevel(g, levels=4)
+    got = {r["id"]: r["community"] for r in assign.collect()}
+    assert len(got) == 8
+    assert len({got[i] for i in range(8)}) == 2
+    assert {got[0], got[1], got[2], got[3]} == {got[0]}
+    assert {got[4], got[5], got[6], got[7]} == {got[4]}
+    assert got[0] != got[4]
+    # the level sequence is non-increasing and actually contracted
+    counts = stats["communityCountPerLevel"]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] == 2
+
+
+def test_louvain_selfloops_ignored_when_absent(spark):
+    """Self-loop accounting must not change results on loop-free graphs
+    (the reference fixture shape): single-level result identical with a
+    neutral self-loop added vs a heavier intra edge."""
+    from neo4j_graph_algorithms_spark.operators.louvain import louvain
+
+    rows = _clique_edges([0, 1, 2]) + _clique_edges([3, 4, 5]) + [(2, 3, 0.5)]
+    g = Graph.from_edges(
+        spark.createDataFrame(rows, "src long, dst long, weight double")
+    )
+    comm, _ = louvain(g)
+    got = {r["id"]: r["community"] for r in comm.collect()}
+    assert got[0] == got[1] == got[2]
+    assert got[3] == got[4] == got[5]
+    assert got[0] != got[3]
+
+
 # ------------------------------------------------------------ triangles path
 
 
