@@ -163,7 +163,10 @@ def delta_stepping(
     )
     rounds = 0
 
-    def relax(dist: DataFrame, frontier: DataFrame, edge_set: DataFrame) -> DataFrame:
+    def relax(dist: DataFrame, frontier: DataFrame, edge_set: DataFrame, hi: float) -> DataFrame:
+        """One relaxation sweep; `_band` marks rows IMPROVED into the
+        open band [·, hi) — folded into the same materialization so the
+        inner loop pays one job per round, not a second compare join."""
         cand = (
             edge_set.join(
                 frontier.select(F.col("id").alias("src"), F.col("distance").alias("ds")), "src"
@@ -171,50 +174,50 @@ def delta_stepping(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min(F.col("ds") + F.col("weight")).alias("nd"))
         )
+        nd = F.coalesce(F.col("nd"), F.lit(INF))
         return dist.join(cand, "id", "left").select(
-            "id", F.least(F.col("distance"), F.coalesce(F.col("nd"), F.lit(INF))).alias("distance")
+            "id",
+            F.least(F.col("distance"), nd).alias("distance"),
+            ((nd < F.col("distance")) & (nd < hi)).alias("_band"),
         )
 
     with adaptive_disabled(spark):
-        dist = dist.localCheckpoint(eager=True)
-        bucket = 0
+        # truncate_plan on the distance state: each relax references
+        # dist AND the band (itself from the previous relax) — the
+        # diamond whose checkpoint-origin chain otherwise grows
+        # exponentially with relax rounds (plans/checkpointing.
+        # truncate_plan)
+        dist = truncate_plan(dist)
+        bucket = 0  # the source sits at distance 0, so bucket 0 is
+        # non-empty by construction; every later bucket index comes
+        # from an actual minimum, so empty-bucket probing never happens
         while True:
             check_termination(spark, termination, bucket)
             lo, hi = bucket * delta, (bucket + 1) * delta
             band = dist.filter((F.col("distance") >= lo) & (F.col("distance") < hi))
             band = band.localCheckpoint(eager=True)
-            if band.isEmpty():
-                # find the next non-empty bucket, or stop
-                nxt = dist.filter((F.col("distance") >= hi) & (F.col("distance") < INF)).agg(
-                    F.min("distance")
-                ).collect()[0][0]
-                if nxt is None:
-                    break
-                bucket = int(nxt // delta)
-                continue
-            # settle the band over light edges. truncate_plan on the
-            # distance state: nd references dist twice (relax + the
-            # new-band compare) — the diamond whose checkpoint-origin
-            # chain otherwise grows exponentially with relax rounds
-            # (plans/checkpointing.truncate_plan)
+            # settle the band over light edges
             while True:
                 rounds += 1
-                nd = truncate_plan(relax(dist, band, light))
-                new_band = (
-                    nd.join(dist.withColumnRenamed("distance", "old"), "id")
-                    .filter((F.col("distance") < F.col("old")) & (F.col("distance") < hi))
-                    .select("id", "distance")
-                    .localCheckpoint(eager=True)
-                )
-                dist = nd
+                merged = truncate_plan(relax(dist, band, light, hi))
+                new_band = merged.filter(F.col("_band")).select("id", "distance")
+                dist = merged.drop("_band")
                 if new_band.isEmpty():
                     break
                 band = new_band
             # heavy edges once for the settled band
             settled = dist.filter((F.col("distance") >= lo) & (F.col("distance") < hi))
             rounds += 1
-            dist = truncate_plan(relax(dist, settled, heavy))
-            bucket += 1
+            dist = truncate_plan(relax(dist, settled, heavy, hi).drop("_band"))
+            # jump straight to the next non-empty bucket (one agg job),
+            # or stop — replaces the old probe-every-bucket loop that
+            # paid a checkpoint + isEmpty + agg per EMPTY bucket
+            nxt = dist.filter((F.col("distance") >= hi) & (F.col("distance") < INF)).agg(
+                F.min("distance")
+            ).collect()[0][0]
+            if nxt is None:
+                break
+            bucket = int(nxt // delta)
     for df in (edges, light, heavy):
         df.unpersist()
     stats = {"relaxRounds": rounds, "computeMillis": int((time.time() - t0) * 1000)}
