@@ -162,6 +162,47 @@ def _sql_wcc_unrolled(rounds: int) -> str:
     return "\n".join(parts)
 
 
+def _sql_ngram_clusters_unrolled(rounds: int) -> str:
+    """Transitive closure (min-label fixpoint) of the exact n-gram
+    Jaccard ≥ 0.85 pair graph, unrolled to `rounds` neighbor-min steps
+    (far above the cluster diameter at checked scales; convergence is
+    asserted by hash equality with the Spark WCC fixpoint), then a
+    corpus-wide left join marking the min-id canonical survivor."""
+    parts = [
+        "WITH idx AS (SELECT i FROM generate_series(1, 1024) t(i)),",
+        "sh AS MATERIALIZED (",
+        "  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 3) AS s",
+        "  FROM documents JOIN idx ON i <= greatest(len(text) - 2, 1)),",
+        "sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),",
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n",
+        "          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id",
+        "          GROUP BY a.id, b.id),",
+        "pairs AS MATERIALIZED (SELECT id_a, id_b",
+        "       FROM inter JOIN sizes sa ON sa.id = id_a",
+        "            JOIN sizes sb ON sb.id = id_b",
+        "       WHERE n * 1.0 / (sa.sz + sb.sz - n) >= 0.85),",
+        "sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs",
+        "     UNION SELECT id_b, id_a FROM pairs),",
+        "c0 AS (SELECT DISTINCT src AS id, src AS comp FROM sym),",
+    ]
+    for k in range(1, rounds + 1):
+        p, c = f"c{k - 1}", f"c{k}"
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT n.id, least(n.comp, coalesce(m.mc, n.comp)) AS comp "
+            f"FROM {p} n LEFT JOIN ("
+            f"SELECT s.dst AS id, min(r.comp) AS mc "
+            f"FROM sym s JOIN {p} r ON s.src = r.id GROUP BY s.dst"
+            f") m ON n.id = m.id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        "SELECT d.doc_id AS id, coalesce(c.comp, d.doc_id) AS cluster_id,\n"
+        "       CAST(coalesce(c.comp, d.doc_id) = d.doc_id AS INT) AS is_canonical\n"
+        f"FROM documents d LEFT JOIN c{rounds} c ON d.doc_id = c.id ORDER BY id"
+    )
+    return "\n".join(parts)
+
+
 def _sql_lpa_unrolled(iterations: int) -> str:
     """Synchronous LPA with parity half-steps and deterministic
     tie-break (max vote, then min label) — the exact recurrence of
@@ -554,6 +595,76 @@ def _langid_spark(docs: DataFrame) -> DataFrame:
     )
 
 
+_FILTER_THRESH = dict(
+    min_chars=150, max_chars=100_000, min_tokens=25, max_tokens=10_000,
+    min_alpha_ratio=0.80, max_digit_ratio=0.3, max_punct_ratio=0.2,
+    min_stopword_density=0.005, languages=("en", "fr"),
+)
+
+
+def _sql_filter_corpus() -> str:
+    """DuckDB twin of pipeline.text.filter_corpus at _FILTER_THRESH —
+    generated from the SAME constants (STOPWORDS, punct class, rule
+    order) so the two sides cannot drift. Rules evaluate on unrounded
+    doubles (identical int/int IEEE divisions in both engines); only
+    the output ratios are rounded."""
+    from neo4j_graph_algorithms_spark.pipeline.text import _PUNCT_CLASS, STOPWORDS
+
+    th = _FILTER_THRESH
+    padded = "(' ' || lower(text) || ' ')"
+
+    def occ(pat: str) -> str:
+        esc = pat.replace("'", "''")
+        return f"(len({padded}) - len(replace({padded}, '{esc}', ''))) / {len(pat)}.0"
+
+    score_exprs = {
+        lang: "(" + " + ".join(occ(p) for p in pats) + ")"
+        for lang, pats in STOPWORDS.items()
+    }
+    structs = ", ".join(
+        f"{{'s': {expr}, 'lang': '{lang}'}}" for lang, expr in score_exprs.items()
+    )
+    langs_in = ", ".join(f"'{lang}'" for lang in th["languages"])
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT doc_id AS id,
+         len(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / greatest(len(text), 1) AS alpha_ratio,
+         len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / greatest(len(text), 1) AS digit_ratio,
+         (len(text) - len(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g'))) * 1.0 / greatest(len(text), 1) AS punct_ratio,
+         {score_exprs["en"]} / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS stopword_density,
+         unnest([{structs}]) AS lp
+  FROM documents),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY lp.s DESC, lp.lang DESC) AS rn
+  FROM raw),
+feat AS (SELECT id, n_chars, n_tokens, alpha_ratio, digit_ratio, punct_ratio,
+                stopword_density, lp.lang AS lang_pred
+         FROM ranked WHERE rn = 1),
+verdict AS (
+  SELECT *,
+    CASE WHEN n_chars < {th["min_chars"]} THEN 'too_short'
+         WHEN n_chars > {th["max_chars"]} THEN 'too_long'
+         WHEN n_tokens < {th["min_tokens"]} THEN 'too_few_tokens'
+         WHEN n_tokens > {th["max_tokens"]} THEN 'too_many_tokens'
+         WHEN alpha_ratio < {th["min_alpha_ratio"]} THEN 'low_alpha'
+         WHEN digit_ratio > {th["max_digit_ratio"]} THEN 'high_digit'
+         WHEN punct_ratio > {th["max_punct_ratio"]} THEN 'high_punct'
+         WHEN stopword_density < {th["min_stopword_density"]} THEN 'low_stopword_density'
+         WHEN lang_pred NOT IN ({langs_in}) THEN 'wrong_language'
+    END AS reject_reason
+  FROM feat)
+SELECT id, n_chars, n_tokens,
+       ROUND(alpha_ratio, {ROUND}) AS alpha_ratio,
+       ROUND(digit_ratio, {ROUND}) AS digit_ratio,
+       ROUND(punct_ratio, {ROUND}) AS punct_ratio,
+       ROUND(stopword_density, {ROUND}) AS stopword_density,
+       lang_pred, reject_reason,
+       CAST(reject_reason IS NULL AS INT) AS keep
+FROM verdict ORDER BY id"""
+
+
 def _langid_sql() -> str:
     padded = "(' ' || lower(text) || ' ')"
     score_cols = ", ".join(
@@ -743,6 +854,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.85)
         return pairs.select("id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard"))
+
+    def q_filter_corpus(spark, sf):
+        # composite pre-train quality gate — one projection over the
+        # scan; the oracle SQL is GENERATED from the same constants
+        from neo4j_graph_algorithms_spark.pipeline.text import filter_corpus
+
+        docs = _read(spark, sf, "documents")
+        out = filter_corpus(docs, **_FILTER_THRESH)
+        return out.select(
+            "id", "n_chars", "n_tokens",
+            F.round("alpha_ratio", ROUND).alias("alpha_ratio"),
+            F.round("digit_ratio", ROUND).alias("digit_ratio"),
+            F.round("punct_ratio", ROUND).alias("punct_ratio"),
+            F.round("stopword_density", ROUND).alias("stopword_density"),
+            "lang_pred", "reject_reason",
+            F.col("keep").cast("int").alias("keep"),
+        )
+
+    def q_ngram_dup_clusters(spark, sf):
+        # pair list -> transitive clusters -> canonical survivor: the
+        # step a production dedup pipeline runs after pair generation
+        # (WCC min-label fixpoint over the pair graph, then one corpus
+        # left join). int-cast the flag for engine-neutral hashing.
+        from neo4j_graph_algorithms_spark.pipeline.dedup import (
+            dup_clusters,
+            ngram_jaccard_pairs,
+        )
+
+        docs = _read(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.85)
+        out = dup_clusters(docs, pairs)
+        return out.select(
+            "id", "cluster_id", F.col("is_canonical").cast("int").alias("is_canonical")
+        )
 
     def q_minhash_dedup_pairs(spark, sf):
         # rows-only check (seeded MinHash permutations aren't SQL-expressible);
@@ -1000,6 +1145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "ngram_dup_clusters": q_ngram_dup_clusters,
+        "filter_corpus": q_filter_corpus,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1087,6 +1234,8 @@ pairs AS (
 SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM pairs) WHERE rank <= 3""",
+        "ngram_dup_clusters": _sql_ngram_clusters_unrolled(8),
+        "filter_corpus": _sql_filter_corpus(),
         "ngram_dedup_pairs": f"""
 WITH idx AS (SELECT i FROM generate_series(1, 1024) t(i)),
 sh AS MATERIALIZED (

@@ -101,6 +101,11 @@ HEADLINE = [
     "mst64",
     "delta_sssp64",
     "apsp_hops4",
+    # round-4 pipeline additions: the composite corpus gate (scan-speed
+    # projection) and the transitive dup-cluster resolution (pair
+    # generation + WCC over paired docs) — first floors this round
+    "filter_corpus",
+    "ngram_dup_clusters",
 ]
 
 # floor-vs-r1 ratio above which we call a regression; r1 is a single

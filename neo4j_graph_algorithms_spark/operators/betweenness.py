@@ -192,15 +192,21 @@ def betweenness(
     strategy: str = "random",
     seed: int = 42,
     max_depth: int | None = None,
-    wave_size: int = 1024,
+    wave_size: int | None = None,
+    state_budget_rows: int = 32_000_000,
     termination=None,
 ) -> tuple[DataFrame, dict]:
     """Returns (centrality(id, centrality), stats).
 
     ``wave_size`` bounds the number of sources simultaneously in flight:
-    peak state O(V·wave_size) instead of O(V·S). ``max_depth`` truncates
-    each BFS DAG (depth-limited betweenness). ``sample``/``strategy``
-    select RA-Brandes source sampling.
+    peak state O(V·wave_size) instead of O(V·S). Default (None) sizes
+    waves from ``state_budget_rows``: wave = budget / V, clamped to
+    [64, n_sources] — a 5k-node graph runs all sources in ONE wave
+    (each extra wave is a full sequential forward+backward pass, pure
+    latency), while a 1B-node graph gets the floor of 64 and the same
+    bounded peak state. ``max_depth`` truncates each BFS DAG
+    (depth-limited betweenness). ``sample``/``strategy`` select
+    RA-Brandes source sampling.
     """
     spark = graph.edges.sparkSession
     t0 = time.time()
@@ -234,6 +240,8 @@ def betweenness(
     n = graph.node_count()
     sources, scale, n_sources = _select_sources(graph, direction, sample, strategy, seed)
     sources = sources.select(F.col("id").cast(id_t).alias("id"))
+    if wave_size is None:
+        wave_size = max(64, min(max(n_sources, 1), state_budget_rows // max(n, 1)))
     n_waves = max(1, -(-n_sources // wave_size))
     if n_waves > 1:
         sources = sources.withColumn("_wave", F.pmod(F.xxhash64("id"), F.lit(n_waves)))

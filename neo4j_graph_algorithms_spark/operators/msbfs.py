@@ -104,6 +104,18 @@ def _sym_edges(graph: Graph, direction: str) -> DataFrame:
     return undirect(graph.edges).select("src", "dst")
 
 
+#: peak traversal-state row budget used by wave_size="auto": the wave
+#: is sized so visited ≈ V · wave/64 rows stays under this — a 5k-node
+#: graph runs all sources in ONE wave (every extra wave is a full
+#: sequential BFS pass, pure latency), a 1B-node graph gets the floor
+#: of one 64-source batch and the same bounded state.
+_AUTO_STATE_BUDGET_ROWS = 32_000_000
+
+
+def _auto_wave_size(n_nodes: int, n_sources: int) -> int:
+    return max(64, min(max(n_sources, 1), 64 * _AUTO_STATE_BUDGET_ROWS // max(n_nodes, 1)))
+
+
 def _wave_ranges(numbered: DataFrame, wave_size: int | None) -> list[tuple[int, int]]:
     """Split the numbered source batches into waves of
     ``ceil(wave_size/64)`` batches each (``wave_size=None`` → one wave).
@@ -128,7 +140,7 @@ def _run_wave_bfs(
     sources: DataFrame | None,
     max_depth: int | None,
     termination,
-    wave_size: int | None,
+    wave_size: int | str | None,
     emit: Callable[[DataFrame, int, DataFrame], DataFrame],
     out_schema: str,
 ) -> DataFrame:
@@ -158,6 +170,8 @@ def _run_wave_bfs(
     if id_t == "int":
         src_nodes = src_nodes.select(F.col("id").cast("int").alias("id"))
     numbered = _number_sources(src_nodes).localCheckpoint(eager=True)
+    if wave_size == "auto":
+        wave_size = _auto_wave_size(graph.node_count(), numbered.count())
     waves = _wave_ranges(numbered, wave_size)
 
     frames: list[DataFrame] = []
@@ -237,7 +251,7 @@ def ms_bfs_depths(
     sources: DataFrame | None = None,
     max_depth: int | None = None,
     termination=None,
-    wave_size: int | None = 4096,
+    wave_size: int | str | None = "auto",
 ) -> DataFrame:
     """Run MS-BFS from every source (default: all nodes).
 
@@ -308,7 +322,7 @@ def harmonic(graph: Graph, direction: str = "both") -> tuple[DataFrame, dict]:
 
 def all_shortest_paths(
     graph: Graph, direction: str = "out", max_depth: int | None = None,
-    termination=None, wave_size: int | None = 4096,
+    termination=None, wave_size: int | str | None = "auto",
 ) -> DataFrame:
     """Unweighted all-pairs (source, target, depth) rows — the
     `algo.allShortestPaths.stream` MS-BFS variant

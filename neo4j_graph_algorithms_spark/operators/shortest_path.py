@@ -155,7 +155,8 @@ def delta_stepping(
     edges = edges.repartition(n_parts, "src").persist()
     light = edges.filter(F.col("weight") <= delta).persist()
     heavy = edges.filter(F.col("weight") > delta).persist()
-    light.count(), heavy.count()
+    light.count()
+    has_heavy = heavy.count() > 0
 
     dist = graph.nodes.select(
         F.col("id").cast(graph.id_type()).alias("id"),
@@ -194,8 +195,11 @@ def delta_stepping(
         while True:
             check_termination(spark, termination, bucket)
             lo, hi = bucket * delta, (bucket + 1) * delta
+            # band needs no checkpoint of its own: it is a filter over
+            # the already-severed `dist` (and, inside the loop, over the
+            # severed `merged`), so the relax diamond only ever
+            # references one shallow LogicalRDD twice
             band = dist.filter((F.col("distance") >= lo) & (F.col("distance") < hi))
-            band = band.localCheckpoint(eager=True)
             # settle the band over light edges
             while True:
                 rounds += 1
@@ -205,10 +209,13 @@ def delta_stepping(
                 if new_band.isEmpty():
                     break
                 band = new_band
-            # heavy edges once for the settled band
-            settled = dist.filter((F.col("distance") >= lo) & (F.col("distance") < hi))
-            rounds += 1
-            dist = truncate_plan(relax(dist, settled, heavy, hi).drop("_band"))
+            # heavy edges once for the settled band (skipped outright
+            # when no edge exceeds delta — e.g. unit-weight graphs —
+            # saving a full materialization per bucket)
+            if has_heavy:
+                settled = dist.filter((F.col("distance") >= lo) & (F.col("distance") < hi))
+                rounds += 1
+                dist = truncate_plan(relax(dist, settled, heavy, hi).drop("_band"))
             # jump straight to the next non-empty bucket (one agg job),
             # or stop — replaces the old probe-every-bucket loop that
             # paid a checkpoint + isEmpty + agg per EMPTY bucket

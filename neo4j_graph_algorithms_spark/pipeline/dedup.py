@@ -426,3 +426,53 @@ def ngram_jaccard_pairs(
     out = out.localCheckpoint(eager=True)
     shingles.unpersist()
     return out
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Transitive duplicate CLUSTERS from a pair list — the step every
+    production dedup pipeline runs after pair generation (exact groups,
+    MinHash/SimHash/n-gram/embedding pairs all emit (id_a, id_b); what
+    the corpus needs is one survivor per connected component, since
+    near-duplication is not transitive pair-by-pair but clusters are).
+
+    Returns one row per document in ``docs``:
+    ``(id, cluster_id, is_canonical)`` where ``cluster_id`` is the MIN
+    doc id of the document's connected component in the pair graph
+    (documents in no pair are singleton clusters of themselves) and
+    ``is_canonical`` marks the deterministic survivor (id == cluster_id)
+    — so ``filter(is_canonical)`` IS the deduped corpus and
+    ``filter(~is_canonical)`` the drop list.
+
+    Scale design: the WCC fixpoint (frontier min-label propagation +
+    pointer jumping, `operators/wcc.py`) runs ONLY over documents that
+    appear in at least one pair — at web scale the pair graph is a tiny
+    fraction of the corpus (that is the point of LSH candidate
+    generation), so the iterative part never touches the full document
+    table; the corpus-wide result is a single left join at the end.
+    Cluster diameter is typically small but NOT bounded (chained
+    near-dups), which is why this is a fixpoint, not a k-step unroll.
+    """
+    from ..graph import Graph
+    from ..operators.wcc import wcc
+
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    members = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    comp, _stats = wcc(Graph.from_edges(edges, nodes=members))
+    out = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("component"), F.col("id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("id") == F.col("cluster_id"))
+    )
+    return out

@@ -105,3 +105,96 @@ def fingerprint(
         lambda i: F.md5(h.substr(i, F.lit(window))),
     )
     return docs.select(id_col, F.array_min(shingles).alias("fingerprint"))
+
+
+# explicit ASCII punctuation ranges — used instead of \p{Punct} so the
+# filter semantics are identical across engines (Java's \p{Punct} and
+# RE2's [[:punct:]] agree on ASCII but this makes the set explicit)
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+
+def filter_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_chars: int = 200,
+    max_chars: int = 1_000_000,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_alpha_ratio: float = 0.5,
+    max_digit_ratio: float = 0.3,
+    max_punct_ratio: float = 0.3,
+    min_stopword_density: float = 0.0,
+    languages: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Composite pre-train corpus filter — the standard quality gate a
+    training-data pipeline runs before tokenization, as ONE projection
+    over the document scan (pure column expressions: whole-stage
+    codegen, no shuffle, filters push down to the parquet scan when the
+    caller filters on ``keep``).
+
+    Returns one row per document:
+    ``(id, n_chars, n_tokens, alpha_ratio, digit_ratio, punct_ratio,
+    stopword_density, lang_pred, reject_reason, keep)`` where
+    ``reject_reason`` is the FIRST failing rule in the documented order
+    (length → tokens → char-class ratios → stopword density → language)
+    and ``keep = reject_reason IS NULL``. Keeping rejected rows with the
+    reason (rather than filtering) is deliberate: at 100 TB the reject
+    histogram is the pipeline's primary quality dashboard, and the kept
+    subset is a trivial ``filter(keep)`` that Catalyst pushes down.
+    """
+    t = F.col(text_col)
+    ln = F.greatest(F.length(t), F.lit(1))
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / ln
+    digit = F.length(F.regexp_replace(t, "[^0-9]", "")) / ln
+    punct = (
+        F.length(t) - F.length(F.regexp_replace(t, _PUNCT_CLASS, ""))
+    ) / ln
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_density = sum(_occurrences(padded, p) for p in STOPWORDS["en"]) / F.greatest(
+        n_tokens, F.lit(1)
+    )
+    lang_pred = F.sort_array(
+        F.array(*[
+            F.struct(
+                sum(_occurrences(padded, p) for p in pats).alias("s"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, pats in STOPWORDS.items()
+        ]),
+        asc=False,
+    )[0]["lang"]
+
+    reason = (
+        F.when(F.col("n_chars") < min_chars, "too_short")
+        .when(F.col("n_chars") > max_chars, "too_long")
+        .when(F.col("n_tokens") < min_tokens, "too_few_tokens")
+        .when(F.col("n_tokens") > max_tokens, "too_many_tokens")
+        .when(F.col("alpha_ratio") < min_alpha_ratio, "low_alpha")
+        .when(F.col("digit_ratio") > max_digit_ratio, "high_digit")
+        .when(F.col("punct_ratio") > max_punct_ratio, "high_punct")
+        .when(F.col("stopword_density") < min_stopword_density, "low_stopword_density")
+    )
+    if languages is not None:
+        reason = reason.when(
+            ~F.col("lang_pred").isin(*languages), "wrong_language"
+        )
+    reason = reason.otherwise(F.lit(None).cast("string"))
+
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            alpha.alias("alpha_ratio"),
+            digit.alias("digit_ratio"),
+            punct.alias("punct_ratio"),
+            stop_density.alias("stopword_density"),
+            lang_pred.alias("lang_pred"),
+        )
+        .withColumn("reject_reason", reason)
+        .withColumn("keep", F.col("reject_reason").isNull())
+    )

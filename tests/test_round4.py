@@ -379,3 +379,166 @@ def test_triangles_broadcast_matches_shuffle(spark):
     a = {(r["id"], r["triangles"]) for r in per_b.collect()}
     b = {(r["id"], r["triangles"]) for r in per_s.collect()}
     assert a == b
+
+
+# ------------------------------------------------------- dup clusters
+
+
+def test_dup_clusters_transitive_and_singletons(spark):
+    """Chained pairs collapse transitively to the min id; documents in
+    no pair are singleton clusters of themselves."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import dup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(7)], "doc_id long, text string"
+    )
+    # 1-2, 2-3 chain (cluster 1); 5-6 (cluster 5); 0, 4 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r["id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dup_clusters(docs, pairs).collect()}
+    assert got == {
+        0: (0, True), 1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True), 6: (5, False),
+    }
+
+
+def test_dup_clusters_from_ngram_pairs(spark):
+    """End-to-end: near-identical docs cluster; canonical set size =
+    n_docs - n_non-canonical; every cluster_id is a member doc id."""
+    from neo4j_graph_algorithms_spark.pipeline.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base + "!"), (2, base + "?!"), (10, "entirely different text here"),
+         (11, "another unrelated document body")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.8)
+    out = dup_clusters(docs, pairs).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[0]["cluster_id"] == by_id[1]["cluster_id"] == by_id[2]["cluster_id"] == 0
+    assert by_id[10]["cluster_id"] == 10 and by_id[11]["cluster_id"] == 11
+    keep = [r["id"] for r in out if r["is_canonical"]]
+    assert sorted(keep) == [0, 10, 11]
+
+
+# ------------------------------------------------------- filter_corpus
+
+
+def test_filter_corpus_rules_and_order(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import filter_corpus
+
+    long_en = ("the cat and the dog walk to the park in the morning " * 8).strip()
+    docs = spark.createDataFrame(
+        [
+            (0, long_en),                       # keeps
+            (1, "tiny"),                        # too_short fires FIRST
+            (2, "x" * 300),                     # 300 chars, 1 token -> too_few_tokens
+            (3, ("12345 67890 " * 30).strip()), # digits -> low_alpha before high_digit
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in filter_corpus(
+        docs, min_chars=100, min_tokens=10, min_alpha_ratio=0.5,
+        max_digit_ratio=0.3, languages=("en",),
+    ).collect()}
+    assert out[0]["keep"] and out[0]["reject_reason"] is None
+    assert out[0]["lang_pred"] == "en"
+    assert out[1]["reject_reason"] == "too_short"
+    assert out[2]["reject_reason"] == "too_few_tokens"
+    assert out[3]["reject_reason"] == "low_alpha"  # rule order: alpha checked first
+    assert not out[3]["keep"]
+
+
+def test_filter_corpus_language_gate(spark):
+    from neo4j_graph_algorithms_spark.pipeline.text import filter_corpus
+
+    de = ("der hund und die katze das ist gut und der tag " * 6).strip()
+    docs = spark.createDataFrame([(0, de)], "doc_id long, text string")
+    row = filter_corpus(
+        docs, min_chars=10, min_tokens=5, min_alpha_ratio=0.0, languages=("en",)
+    ).collect()[0]
+    assert row["lang_pred"] == "de"
+    assert row["reject_reason"] == "wrong_language"
+
+
+# ------------------------------------------------- betweenness auto-wave
+
+
+def test_betweenness_auto_wave_matches_fixed(spark):
+    """Auto wave sizing (budget/V) must not change results — same path
+    fixture as the reference's [0,3,4,3,0], plus a tiny budget forcing
+    multiple waves."""
+    from neo4j_graph_algorithms_spark.operators.betweenness import betweenness
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    g = Graph.from_edges(e)
+    auto, stats_auto = betweenness(g, direction="out")
+    assert stats_auto["waves"] == 1  # 5 nodes, default budget -> one wave
+    # tiny budget still floors wave_size at 64 (never degenerates to
+    # per-source passes on small graphs)
+    _, stats_tiny = betweenness(g, direction="out", state_budget_rows=1)
+    assert stats_tiny["waves"] == 1
+    got = {r["id"]: r["centrality"] for r in auto.collect()}
+    assert got == {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0}
+    # explicit wave_size still honored and identical
+    waved, stats_w = betweenness(g, direction="out", wave_size=2)
+    assert stats_w["waves"] == 3
+    assert {r["id"]: r["centrality"] for r in waved.collect()} == got
+
+
+# ------------------------------------------------- delta-stepping paths
+
+
+def test_delta_stepping_all_light_skips_heavy_phase(spark):
+    """delta > max weight => heavy set empty; the per-bucket heavy
+    relax is skipped outright and distances still match Dijkstra."""
+    from neo4j_graph_algorithms_spark.operators.shortest_path import (
+        delta_stepping,
+        shortest_paths,
+    )
+
+    edges = [(0, 1, 4.0), (0, 2, 2.0), (1, 3, 5.0), (2, 1, 1.0),
+             (2, 3, 8.0), (2, 4, 10.0), (3, 4, 2.0), (4, 5, 6.0)]
+    g = Graph.from_edge_list(spark, edges, n_nodes=6)
+    want = {r["id"]: r["distance"] for r in shortest_paths(g, 0)[0].collect()}
+    got = {r["id"]: r["distance"] for r in delta_stepping(g, 0, delta=100.0)[0].collect()}
+    assert got == want
+
+
+def test_delta_stepping_sparse_buckets_jump(spark):
+    """Distance spectrum with big gaps: the bucket scheduler must jump
+    straight across empty buckets (old code probed every one)."""
+    from neo4j_graph_algorithms_spark.operators.shortest_path import delta_stepping
+
+    edges = [(0, 1, 1.0), (1, 2, 1000.0), (2, 3, 1.0), (3, 4, 5000.0)]
+    g = Graph.from_edge_list(spark, edges, n_nodes=5)
+    dist, _ = delta_stepping(g, 0, delta=2.0)
+    got = {r["id"]: r["distance"] for r in dist.collect()}
+    assert got[4] == 6002.0 and got[2] == 1001.0
+
+
+def test_msbfs_auto_wave_matches_fixed(spark):
+    """wave_size='auto' (budget/V) produces identical depth counts to an
+    explicit small wave, and sizes to one wave on a small graph."""
+    from neo4j_graph_algorithms_spark.operators.msbfs import (
+        _auto_wave_size,
+        ms_bfs_depths,
+    )
+
+    g = _path_graph(spark, 12)
+    auto = {(r["node"], r["depth"]): r["n_sources"]
+            for r in ms_bfs_depths(g, direction="both").collect()}
+    waved = {(r["node"], r["depth"]): r["n_sources"]
+             for r in ms_bfs_depths(g, direction="both", wave_size=64).collect()}
+    assert auto == waved
+    assert _auto_wave_size(12, 12) == 64          # floored at one 64-source batch
+    assert _auto_wave_size(1_000_000_000, 10**9) == 64  # floor at one batch
+    assert _auto_wave_size(32_000_000, 10**9) == 64     # budget/V exactly 64
