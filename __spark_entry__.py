@@ -110,13 +110,16 @@ e AS MATERIALIZED (SELECT DISTINCT src, dst FROM resolved)
 """
 
 
-def _sql_pagerank_unrolled(iterations: int) -> str:
+def _sql_pagerank_unrolled(iterations: int, seed_pred: str | None = None) -> str:
     """Reference delta-push recurrence expanded to a CTE chain
-    (init 1-d; push d*delta/outdeg; dangling nodes push nothing)."""
+    (init 1-d; push d*delta/outdeg; dangling nodes push nothing).
+    ``seed_pred`` (personalized variant) restricts the 0.15 init mass
+    to documents matching the predicate; all other nodes start at 0."""
+    init = f"CASE WHEN {seed_pred} THEN 0.15 ELSE 0.0 END" if seed_pred else "0.15"
     parts = [
         "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",",
         "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),",
-        "r0 AS (SELECT doc_id AS id, 0.15 AS rank, 0.15 AS delta FROM documents),",
+        f"r0 AS (SELECT doc_id AS id, {init} AS rank, {init} AS delta FROM documents),",
     ]
     for k in range(1, iterations + 1):
         p, c = f"r{k - 1}", f"r{k}"
@@ -736,6 +739,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ranks, _ = pagerank(g, damping=0.85, max_iterations=5)
         return ranks.select("id", F.round("rank", ROUND).alias("rank"))
 
+    def q_pagerank_personalized(spark, sf):
+        # personalized PageRank (extension): teleport mass seeded at
+        # doc ids < 16 only; same delta-push recurrence, so the oracle
+        # is the standard unrolled chain with a seeded init
+        g = _doc_graph(spark, sf).cache()
+        seeds = (
+            _read(spark, sf, "documents")
+            .select(F.col("doc_id").alias("id"))
+            .filter(F.col("id") < 16)
+        )
+        ranks, _ = pagerank(g, damping=0.85, max_iterations=5, source_nodes=seeds)
+        return ranks.select("id", F.round("rank", ROUND).alias("rank"))
+
     def q_wcc(spark, sf):
         li = _read(spark, sf, "lineitem")
         edges = li.select(
@@ -1132,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degree": q_out_degree,
         "degree_distribution": q_degree_distribution,
         "pagerank": q_pagerank,
+        "pagerank_personalized": q_pagerank_personalized,
         "wcc": q_wcc,
         "wcc_sizes": q_wcc_sizes,
         "triangles": q_triangles,
@@ -1183,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
 SELECT degree, count(*) AS n_nodes FROM indeg GROUP BY degree"""
         ),
         "pagerank": _sql_pagerank_unrolled(5),
+        "pagerank_personalized": _sql_pagerank_unrolled(5, seed_pred="doc_id < 16"),
         "wcc": _sql_wcc_unrolled(14),
         "wcc_sizes": (
             "WITH base AS (" + _sql_wcc_unrolled(14).replace("ORDER BY id", "") + ")\n"

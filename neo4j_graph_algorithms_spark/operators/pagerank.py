@@ -130,8 +130,20 @@ def pagerank(
     num_partitions: int | None = None,
     fuse: int = 5,
     termination=None,
+    source_nodes: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run PageRank; returns (ranks(id, rank), stats).
+
+    ``source_nodes`` (EXTENSION — no reference counterpart): personalized
+    PageRank. Teleport mass ``1-d`` is seeded ONLY at the given (id)
+    frame instead of every node — the delta-push recurrence is otherwise
+    identical, so scores are the unnormalized per-seed convention
+    consistent with the reference's uniform init (each seed contributes
+    exactly the mass a node gets in the global run; divide by |S| for
+    the stochastic-vector convention). Nodes unreachable from the seed
+    set stay at exactly 0. The first supersteps only touch the seeds'
+    out-neighborhoods, so frontier volume starts at O(|S|·deg) — the
+    seed-expansion workload this exists for.
 
     stats mirrors the reference's result row
     (`algo/.../results/PageRankScore.java` Stats: nodes, iterations,
@@ -199,10 +211,21 @@ def pagerank(
             start_step, state, _meta = latest
             start_step += 1
     if state is None:
-        state = graph.nodes.select(
-            F.col("id").cast(id_t).alias("id"),
-            F.lit(alpha).alias("rank"), F.lit(alpha).alias("delta"),
-        )
+        if source_nodes is not None:
+            seeds = source_nodes.select(
+                F.col("id").cast(id_t).alias("id"), F.lit(True).alias("_seed")
+            ).distinct()
+            init = F.when(F.col("_seed"), F.lit(alpha)).otherwise(F.lit(0.0))
+            state = (
+                graph.nodes.select(F.col("id").cast(id_t).alias("id"))
+                .join(seeds, "id", "left")
+                .select("id", init.alias("rank"), init.alias("delta"))
+            )
+        else:
+            state = graph.nodes.select(
+                F.col("id").cast(id_t).alias("id"),
+                F.lit(alpha).alias("rank"), F.lit(alpha).alias("delta"),
+            )
         state = cache.step(state, 0, {"phase": "init"}, value_col="delta")
         start_step = 1
 

@@ -56,6 +56,11 @@ def _registry() -> dict[str, Procedure]:
 
     procs = [
         Procedure("algo.pageRank", "delta-push PageRank (PageRankProc.java:67-134)", pagerank),
+        Procedure(
+            "algo.pageRank.personalized",
+            "personalized PageRank: teleport seeded at source_nodes only (extension beyond the reference)",
+            lambda graph, source_nodes, **kw: pagerank(graph, source_nodes=source_nodes, **kw),
+        ),
         Procedure("algo.unionFind", "weakly connected components (UnionFindProc.java:51-91)", wcc),
         Procedure("algo.unionFind.mscoloring", "WCC via min-label coloring (MSColoringProc.java:53-99) — same partition, shared impl", wcc),
         Procedure("algo.labelPropagation", "weighted LPA (LabelPropagationProc.java:67-110)", label_propagation),

@@ -542,3 +542,68 @@ def test_msbfs_auto_wave_matches_fixed(spark):
     assert _auto_wave_size(12, 12) == 64          # floored at one 64-source batch
     assert _auto_wave_size(1_000_000_000, 10**9) == 64  # floor at one batch
     assert _auto_wave_size(32_000_000, 10**9) == 64     # budget/V exactly 64
+
+
+# ----------------------------------------------- personalized PageRank
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """Mass flows only from the seeds: nodes unreachable from the seed
+    set stay at exactly 0; seeding ALL nodes reproduces global PageRank."""
+    from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+
+    # two disjoint directed chains: 0->1->2 and 10->11->12
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (11, 12)], "src long, dst long"
+    )
+    g = Graph.from_edges(e)
+    seeds = spark.createDataFrame([(0,)], "id long")
+    ranks = {r["id"]: r["rank"]
+             for r in pagerank(g, max_iterations=10, source_nodes=seeds)[0].collect()}
+    assert ranks[10] == 0.0 and ranks[11] == 0.0 and ranks[12] == 0.0
+    assert ranks[0] == pytest.approx(0.15)
+    assert ranks[1] == pytest.approx(0.15 * 0.85)
+    assert ranks[2] == pytest.approx(0.15 * 0.85 * 0.85)
+
+    all_nodes = g.nodes.select("id")
+    per = {r["id"]: r["rank"]
+           for r in pagerank(g, max_iterations=10, source_nodes=all_nodes)[0].collect()}
+    glob = {r["id"]: r["rank"] for r in pagerank(g, max_iterations=10)[0].collect()}
+    assert per == pytest.approx(glob)
+
+
+def test_personalized_pagerank_numpy_differential(spark):
+    """Seeded delta-push vs dense numpy power iteration on a small
+    random-ish digraph (same recurrence: r += d*M^T delta per step)."""
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+
+    n = 12
+    edges = [(i, (i * 3 + 1) % n) for i in range(n)] + [
+        (i, (i * 5 + 2) % n) for i in range(0, n, 2)
+    ]
+    edges = sorted(set(edges))
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(e)
+    seeds = [1, 4]
+    sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+    got = {r["id"]: r["rank"]
+           for r in pagerank(g, max_iterations=8, source_nodes=sdf)[0].collect()}
+
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[s] += 1
+    rank = np.zeros(n)
+    delta = np.zeros(n)
+    for s in seeds:
+        rank[s] = delta[s] = 0.15
+    for _ in range(8):
+        nxt = np.zeros(n)
+        for s, d in edges:
+            if delta[s] > 0:
+                nxt[d] += 0.85 * delta[s] / outdeg[s]
+        rank += nxt
+        delta = nxt
+    for i in range(n):
+        assert got.get(i, 0.0) == pytest.approx(rank[i], abs=1e-9)
