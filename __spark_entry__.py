@@ -165,17 +165,18 @@ def _sql_wcc_unrolled(rounds: int) -> str:
     return "\n".join(parts)
 
 
-def _sql_ngram_clusters_unrolled(rounds: int) -> str:
+def _sql_ngram_clusters_unrolled(rounds: int, shingle_k: int = 20) -> str:
     """Transitive closure (min-label fixpoint) of the exact n-gram
     Jaccard ≥ 0.85 pair graph, unrolled to `rounds` neighbor-min steps
     (far above the cluster diameter at checked scales; convergence is
     asserted by hash equality with the Spark WCC fixpoint), then a
-    corpus-wide left join marking the min-id canonical survivor."""
+    corpus-wide left join marking the min-id canonical survivor.
+    shingle_k=20 mirrors the driver query (see q_ngram_dup_clusters)."""
     parts = [
         "WITH idx AS (SELECT i FROM generate_series(1, 1024) t(i)),",
         "sh AS MATERIALIZED (",
-        "  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), 3) AS s",
-        "  FROM documents JOIN idx ON i <= greatest(len(text) - 2, 1)),",
+        f"  SELECT DISTINCT doc_id AS id, substr(text, CAST(i AS INT), {shingle_k}) AS s",
+        f"  FROM documents JOIN idx ON i <= greatest(len(text) - {shingle_k - 1}, 1)),",
         "sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),",
         "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n",
         "          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id",
@@ -893,13 +894,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # step a production dedup pipeline runs after pair generation
         # (WCC min-label fixpoint over the pair graph, then one corpus
         # left join). int-cast the flag for engine-neutral hashing.
+        # k=20 shingles: the synthetic corpus has a tiny 3-gram
+        # vocabulary (~400 distinct shingles across 5k docs), so k=3
+        # fans the shingle self-join out quadratically at sf0.1; 20-char
+        # shingles are near-unique (df~1) and keep the join linear while
+        # still catching the near-identical dup pairs the corpus plants.
         from neo4j_graph_algorithms_spark.pipeline.dedup import (
             dup_clusters,
             ngram_jaccard_pairs,
         )
 
         docs = _read(spark, sf, "documents")
-        pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.85)
+        pairs = ngram_jaccard_pairs(docs, shingle_k=20, threshold=0.85)
         out = dup_clusters(docs, pairs)
         return out.select(
             "id", "cluster_id", F.col("is_canonical").cast("int").alias("is_canonical")
