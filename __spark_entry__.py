@@ -110,21 +110,30 @@ e AS MATERIALIZED (SELECT DISTINCT src, dst FROM resolved)
 """
 
 
-def _sql_pagerank_unrolled(iterations: int, seed_pred: str | None = None) -> str:
+def _sql_pagerank_unrolled(
+    iterations: int, seed_pred: str | None = None, weighted: bool = False
+) -> str:
     """Reference delta-push recurrence expanded to a CTE chain
     (init 1-d; push d*delta/outdeg; dangling nodes push nothing).
     ``seed_pred`` (personalized variant) restricts the 0.15 init mass
-    to documents matching the predicate; all other nodes start at 0."""
+    to documents matching the predicate; all other nodes start at 0.
+    ``weighted`` pushes d*delta*w/Σw with the deterministic edge weight
+    ((src + 2*dst) % 7) + 1 — dependent on BOTH endpoints, so it does
+    not cancel back to the uniform 1/deg split."""
     init = f"CASE WHEN {seed_pred} THEN 0.15 ELSE 0.0 END" if seed_pred else "0.15"
+    w = "(((e.src + 2*e.dst) % 7) + 1.0)"
     parts = [
         "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",",
-        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),",
+        (f"deg AS (SELECT src, sum((((src + 2*dst) % 7) + 1.0)) AS d FROM e GROUP BY src),"
+         if weighted else
+         "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),"),
         f"r0 AS (SELECT doc_id AS id, {init} AS rank, {init} AS delta FROM documents),",
     ]
+    push = f"r.delta * {w} / deg.d" if weighted else "r.delta / deg.d"
     for k in range(1, iterations + 1):
         p, c = f"r{k - 1}", f"r{k}"
         parts.append(
-            f"m{k} AS MATERIALIZED (SELECT e.dst AS id, 0.85 * sum(r.delta / deg.d) AS recv "
+            f"m{k} AS MATERIALIZED (SELECT e.dst AS id, 0.85 * sum({push}) AS recv "
             f"FROM e JOIN {p} r ON e.src = r.id JOIN deg ON deg.src = e.src "
             f"WHERE r.delta > 0 GROUP BY e.dst),"
         )
@@ -296,6 +305,21 @@ def _sql_apsp_unrolled(max_depth: int) -> str:
         _sql_apsp_prefix(max_depth)
         + f"\nSELECT source, target, depth FROM c{max_depth} WHERE depth > 0 "
         "ORDER BY source, target"
+    )
+
+
+def _sql_neighborhood_unrolled(max_depth: int) -> str:
+    """Exact neighborhood function N(t): cumulative ordered pairs
+    (s≠v, d(s→v) ≤ t) per depth t, from the same depth-bounded BFS
+    chain the apsp oracle uses."""
+    return (
+        _sql_apsp_prefix(max_depth)
+        + f"""
+, per AS (SELECT depth, count(*) AS n FROM c{max_depth} WHERE depth > 0 GROUP BY depth),
+ds AS (SELECT CAST(i AS INT) AS depth FROM generate_series(1, {max_depth}) t(i))
+SELECT ds.depth,
+       CAST(coalesce((SELECT sum(n) FROM per WHERE per.depth <= ds.depth), 0) AS BIGINT) AS n_pairs
+FROM ds ORDER BY ds.depth"""
     )
 
 
@@ -753,6 +777,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ranks, _ = pagerank(g, damping=0.85, max_iterations=5, source_nodes=seeds)
         return ranks.select("id", F.round("rank", ROUND).alias("rank"))
 
+    def q_pagerank_weighted(spark, sf):
+        # weighted PageRank (extension): push fraction w/Σw with a
+        # deterministic weight on BOTH endpoints ((src+2*dst)%7)+1 — a
+        # src-only weight would cancel back to the uniform 1/deg split
+        # and test nothing
+        edges = (
+            _doc_link_rows(spark, sf).select("src", "dst").withColumn(
+                "weight",
+                (F.pmod(F.col("src") + 2 * F.col("dst"), F.lit(7)) + 1).cast("double"),
+            )
+        )
+        nodes = _read(spark, sf, "documents").select(F.col("doc_id").alias("id"))
+        g = Graph.from_edges(edges, nodes=nodes, weight="weight", dedup=True).cache()
+        ranks, _ = pagerank(g, damping=0.85, max_iterations=5, weighted=True)
+        return ranks.select("id", F.round("rank", ROUND).alias("rank"))
+
     def q_wcc(spark, sf):
         li = _read(spark, sf, "lineitem")
         edges = li.select(
@@ -971,6 +1011,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return all_shortest_paths(g, direction="out", max_depth=4)
 
+    def q_neighborhood_exact(spark, sf):
+        # exact neighborhood function N(t) (EXTENSION, HyperANF family):
+        # cumulative reachable ordered pairs per depth via the MS-BFS
+        # (node, depth, n_sources) aggregate — never materializes pairs
+        from neo4j_graph_algorithms_spark.operators.neighborhood import (
+            neighborhood_exact,
+        )
+
+        g = _doc_graph(spark, sf)
+        return neighborhood_exact(g, max_depth=4, direction="out")
+
+    def q_neighborhood_hll(spark, sf):
+        # rows-only: the HyperANF estimate rides xxhash64-seeded HLL
+        # registers (not SQL-expressible); its accuracy vs the exact
+        # N(t) is differential-tested in tests/test_round4.py
+        from neo4j_graph_algorithms_spark.operators.neighborhood import (
+            neighborhood_function,
+        )
+
+        g = _doc_graph(spark, sf)
+        nf, _ = neighborhood_function(g, max_depth=4, p=10, direction="out")
+        return nf.select("depth", F.round("n_pairs_est", 2).alias("n_pairs_est"))
+
     def q_louvain(spark, sf):
         from neo4j_graph_algorithms_spark.operators.louvain import louvain
 
@@ -1155,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_distribution": q_degree_distribution,
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
+        "pagerank_weighted": q_pagerank_weighted,
         "wcc": q_wcc,
         "wcc_sizes": q_wcc_sizes,
         "triangles": q_triangles,
@@ -1175,6 +1239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "sssp_hops12": q_sssp_hops12,
         "apsp_hops4": q_apsp_hops4,
+        "neighborhood_exact": q_neighborhood_exact,
+        "neighborhood_hll": q_neighborhood_hll,
         "louvain": q_louvain,
         "louvain_multilevel": q_louvain_multilevel,
         "closeness_hops4": q_closeness_hops4,
@@ -1207,6 +1273,7 @@ SELECT degree, count(*) AS n_nodes FROM indeg GROUP BY degree"""
         ),
         "pagerank": _sql_pagerank_unrolled(5),
         "pagerank_personalized": _sql_pagerank_unrolled(5, seed_pred="doc_id < 16"),
+        "pagerank_weighted": _sql_pagerank_unrolled(5, weighted=True),
         "wcc": _sql_wcc_unrolled(14),
         "wcc_sizes": (
             "WITH base AS (" + _sql_wcc_unrolled(14).replace("ORDER BY id", "") + ")\n"
@@ -1273,6 +1340,7 @@ j AS (SELECT id_a, id_b, n * 1.0 / (sa.sz + sb.sz - n) AS jac
 SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM j WHERE jac >= 0.85""",
         "sssp_hops12": _sql_sssp_unrolled(12),
         "apsp_hops4": _sql_apsp_unrolled(4),
+        "neighborhood_exact": _sql_neighborhood_unrolled(4),
         "louvain": _sql_louvain_unrolled(1),
         "closeness_hops4": _sql_closeness_unrolled(4),
         "harmonic_hops4": _sql_harmonic_unrolled(4),

@@ -131,8 +131,21 @@ def pagerank(
     fuse: int = 5,
     termination=None,
     source_nodes: DataFrame | None = None,
+    weighted: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run PageRank; returns (ranks(id, rank), stats).
+
+    ``weighted`` (EXTENSION — the reference loads PageRank unweighted,
+    `algo/.../PageRankProc.java:143-147`): each node pushes
+    ``damping * delta * w(u,v) / Σ_out w(u,·)`` instead of the uniform
+    ``1/outDegree`` split. Only the per-edge push fraction changes — the
+    delta recurrence, dangling convention (push nothing), and both
+    physical plans are untouched, because the kernel already carries the
+    fraction as a per-edge ``inv_deg`` column. Edges with non-positive
+    weight are dropped from the push (they contribute no mass, and a
+    node whose out-weights sum to 0 behaves as dangling). With all
+    weights equal this reduces exactly to the unweighted kernel
+    (differential-tested).
 
     ``source_nodes`` (EXTENSION — no reference counterpart): personalized
     PageRank. Teleport mass ``1-d`` is seeded ONLY at the given (id)
@@ -172,14 +185,27 @@ def pagerank(
     # too close to the 1e-6 parity bar.
     id_t = graph.id_type()
 
-    out_deg = graph.out_degrees().select(
-        F.col("id").cast(id_t).alias("src"), F.col("degree")
-    )
-    edges_with_inv = graph.edges.select(
-        F.col("src").cast(id_t).alias("src"), F.col("dst").cast(id_t).alias("dst")
-    ).join(out_deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("degree")).alias("inv_deg")
-    )
+    if weighted:
+        # per-edge push fraction w/Σw replaces 1/deg; everything
+        # downstream (both plans, salting, folds) is weight-agnostic
+        e_w = graph.edges.filter(F.col("weight") > 0).select(
+            F.col("src").cast(id_t).alias("src"),
+            F.col("dst").cast(id_t).alias("dst"),
+            F.col("weight"),
+        )
+        w_sum = e_w.groupBy("src").agg(F.sum("weight").alias("_wsum"))
+        edges_with_inv = e_w.join(w_sum, "src").select(
+            "src", "dst", (F.col("weight") / F.col("_wsum")).alias("inv_deg")
+        )
+    else:
+        out_deg = graph.out_degrees().select(
+            F.col("id").cast(id_t).alias("src"), F.col("degree")
+        )
+        edges_with_inv = graph.edges.select(
+            F.col("src").cast(id_t).alias("src"), F.col("dst").cast(id_t).alias("dst")
+        ).join(out_deg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("degree")).alias("inv_deg")
+        )
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     if plan == "csr":
         from ..plans.partitioning import degree_budget_partition

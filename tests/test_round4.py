@@ -607,3 +607,131 @@ def test_personalized_pagerank_numpy_differential(spark):
         delta = nxt
     for i in range(n):
         assert got.get(i, 0.0) == pytest.approx(rank[i], abs=1e-9)
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    """With every weight equal, w/Σw == 1/deg exactly, so the weighted
+    kernel must reproduce the unweighted scores bit-for-bit-ish."""
+    from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+
+    n = 12
+    edges = sorted({(i, (i * 3 + 1) % n) for i in range(n)}
+                   | {(i, (i * 5 + 2) % n) for i in range(0, n, 2)})
+    e = spark.createDataFrame(
+        [(s, d, 2.5) for s, d in edges], "src long, dst long, weight double"
+    )
+    g = Graph.from_edges(e, weight="weight")
+    w = {r["id"]: r["rank"]
+         for r in pagerank(g, max_iterations=8, weighted=True)[0].collect()}
+    u = {r["id"]: r["rank"] for r in pagerank(g, max_iterations=8)[0].collect()}
+    assert w == pytest.approx(u, abs=1e-12)
+
+
+def test_weighted_pagerank_numpy_differential(spark):
+    """Weighted delta-push vs a dense numpy replay of the same
+    recurrence (push d*delta*w/Σw; weights vary per edge); also checks
+    that non-positive-weight edges contribute nothing."""
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+
+    n = 12
+    edges = sorted({(i, (i * 3 + 1) % n) for i in range(n)}
+                   | {(i, (i * 5 + 2) % n) for i in range(0, n, 2)})
+    wts = {(s, d): float((s + 2 * d) % 7) + 1.0 for s, d in edges}
+    rows = [(s, d, wts[(s, d)]) for s, d in edges]
+    # a zero-weight edge that must be ignored by the weighted push
+    rows.append((0, 11, 0.0))
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    g = Graph.from_edges(e, weight="weight")
+    got = {r["id"]: r["rank"]
+           for r in pagerank(g, max_iterations=8, weighted=True)[0].collect()}
+
+    wsum = np.zeros(n)
+    for (s, _d), w in wts.items():
+        wsum[s] += w
+    rank = np.full(n, 0.15)
+    delta = np.full(n, 0.15)
+    for _ in range(8):
+        nxt = np.zeros(n)
+        for (s, d), w in wts.items():
+            if delta[s] > 0:
+                nxt[d] += 0.85 * delta[s] * w / wsum[s]
+        rank += nxt
+        delta = nxt
+    for i in range(n):
+        assert got[i] == pytest.approx(rank[i], abs=1e-9)
+
+
+def test_neighborhood_exact_chain(spark):
+    """Directed chain 0→1→2→3: N(1)=3, N(2)=5, N(3)=N(4)=6 ordered
+    pairs; densified depths past the diameter stay flat."""
+    from neo4j_graph_algorithms_spark.operators.neighborhood import (
+        neighborhood_exact,
+    )
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    g = Graph.from_edges(e)
+    got = {r["depth"]: r["n_pairs"]
+           for r in neighborhood_exact(g, max_depth=4, direction="out").collect()}
+    assert got == {1: 3, 2: 5, 3: 6, 4: 6}
+
+
+def test_neighborhood_hll_tracks_exact(spark):
+    """HyperANF estimate within 10% of the exact N(t) at every depth on
+    a 200-node ring-with-chords graph (p=12 → ~1.6% per-register rel
+    error; the per-node sum concentrates tighter)."""
+    from neo4j_graph_algorithms_spark.operators.neighborhood import (
+        neighborhood_exact,
+        neighborhood_function,
+    )
+
+    n = 200
+    edges = sorted({(i, (i + 1) % n) for i in range(n)}
+                   | {(i, (i * 7 + 3) % n) for i in range(0, n, 3)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(e)
+    exact = {r["depth"]: r["n_pairs"]
+             for r in neighborhood_exact(g, max_depth=5, direction="out").collect()}
+    est_df, stats = neighborhood_function(g, max_depth=5, p=12, direction="out")
+    est = {r["depth"]: r["n_pairs_est"] for r in est_df.collect()}
+    assert set(est) == set(exact)
+    for d, ex in exact.items():
+        assert est[d] == pytest.approx(ex, rel=0.10), (d, est[d], ex)
+    assert stats["depths_run"] == 5
+
+
+def test_neighborhood_hll_converges_and_diameter(spark):
+    """On a diameter-3 graph the frontier empties at depth 4 and the
+    run stops early with didConverge; effective diameter is within the
+    run range and ≥ 1."""
+    from neo4j_graph_algorithms_spark.operators.neighborhood import (
+        neighborhood_function,
+    )
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    g = Graph.from_edges(e)
+    _, stats = neighborhood_function(g, max_depth=10, p=8, direction="out")
+    assert stats["didConverge"]
+    assert stats["depths_run"] <= 5
+    assert 1.0 <= stats["effective_diameter_90"] <= stats["depths_run"]
+
+
+def test_neighborhood_hll_salted_matches_plain(spark):
+    """Two-phase salted merge is exactly the plain merge (elementwise
+    max is associative/commutative, so grouping order can't matter)."""
+    from neo4j_graph_algorithms_spark.operators.neighborhood import (
+        neighborhood_function,
+    )
+
+    n = 60
+    edges = sorted({(i, (i * 3 + 1) % n) for i in range(n)}
+                   | {(0, i) for i in range(1, n)})  # hub fan-out
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(e)
+    plain, _ = neighborhood_function(g, max_depth=3, p=8, direction="both")
+    salted, _ = neighborhood_function(g, max_depth=3, p=8, direction="both",
+                                      salt_buckets=4)
+    p_rows = {r["depth"]: r["n_pairs_est"] for r in plain.collect()}
+    s_rows = {r["depth"]: r["n_pairs_est"] for r in salted.collect()}
+    assert p_rows == pytest.approx(s_rows)
