@@ -308,6 +308,36 @@ def _sql_apsp_unrolled(max_depth: int) -> str:
     )
 
 
+def _sql_kcore_unrolled(rounds: int, thresh: float = 45.0) -> str:
+    """Iterative h-index fixpoint (c0 = degree; c_{t+1}(v) = h-index of
+    neighbor values) on the thresholded part–supplier bipartite graph,
+    unrolled to `rounds` ≥ the observed convergence depth (7 at sf0.01;
+    the h-index sequence is monotone non-increasing, so extra rounds
+    are no-ops). Same recurrence as operators/kcore.py."""
+    parts = [
+        "WITH et AS MATERIALIZED (",
+        f"  SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst",
+        f"  FROM lineitem WHERE l_quantity >= {thresh}),",
+        "sym AS MATERIALIZED (SELECT src AS node, dst AS nbr FROM et WHERE src <> dst",
+        "     UNION SELECT dst, src FROM et WHERE src <> dst),",
+        "c0 AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS core FROM sym GROUP BY node),",
+    ]
+    for k in range(1, rounds + 1):
+        p, c = f"c{k - 1}", f"c{k}"
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT cc.node, CAST(coalesce(h.h, cc.core) AS BIGINT) AS core "
+            f"FROM {p} cc LEFT JOIN ("
+            f"SELECT t.node, max(least(t.val, t.rn)) AS h FROM ("
+            f"SELECT s.node, p2.core AS val, "
+            f"row_number() OVER (PARTITION BY s.node ORDER BY p2.core DESC) AS rn "
+            f"FROM sym s JOIN {p} p2 ON s.nbr = p2.node) t GROUP BY t.node"
+            f") h ON cc.node = h.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node AS id, core FROM c{rounds} ORDER BY id")
+    return "\n".join(parts)
+
+
 def _sql_neighborhood_unrolled(max_depth: int) -> str:
     """Exact neighborhood function N(t): cumulative ordered pairs
     (s≠v, d(s→v) ≤ t) per depth t, from the same depth-bounded BFS
@@ -1011,6 +1041,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return all_shortest_paths(g, direction="out", max_depth=4)
 
+    def q_kcore45(spark, sf):
+        # core decomposition (EXTENSION): iterative h-index fixpoint on
+        # the quantity≥45 part–supplier bipartite graph (cores 1..6 at
+        # sf0.01 — heterogeneous, unlike the near-regular doc graph);
+        # oracle = the same recurrence unrolled past convergence depth
+        from neo4j_graph_algorithms_spark.operators.kcore import (
+            core_decomposition,
+        )
+
+        li = _read(spark, sf, "lineitem")
+        edges = li.filter(F.col("l_quantity") >= 45.0).select(
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        g = Graph.from_edges(edges, dedup=True).cache()
+        cores, _ = core_decomposition(g)
+        return cores
+
     def q_neighborhood_exact(spark, sf):
         # exact neighborhood function N(t) (EXTENSION, HyperANF family):
         # cumulative reachable ordered pairs per depth via the MS-BFS
@@ -1241,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apsp_hops4": q_apsp_hops4,
         "neighborhood_exact": q_neighborhood_exact,
         "neighborhood_hll": q_neighborhood_hll,
+        "kcore45": q_kcore45,
         "louvain": q_louvain,
         "louvain_multilevel": q_louvain_multilevel,
         "closeness_hops4": q_closeness_hops4,
@@ -1341,6 +1390,7 @@ SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM j WHERE jac >= 0.85""",
         "sssp_hops12": _sql_sssp_unrolled(12),
         "apsp_hops4": _sql_apsp_unrolled(4),
         "neighborhood_exact": _sql_neighborhood_unrolled(4),
+        "kcore45": _sql_kcore_unrolled(12),
         "louvain": _sql_louvain_unrolled(1),
         "closeness_hops4": _sql_closeness_unrolled(4),
         "harmonic_hops4": _sql_harmonic_unrolled(4),

@@ -1,0 +1,165 @@
+"""K-core decomposition — iterative h-index propagation on DataFrames.
+
+EXTENSION (no counterpart in the reference's 47-procedure surface):
+per-node core numbers — the largest k such that the node survives in
+the k-core (the maximal subgraph with every degree ≥ k). The standard
+dense-subgraph / spam-farm / community-seed primitive for web-scale
+link graphs.
+
+The classic peeling algorithm (Batagelj–Zaveršnik) is inherently
+sequential (remove the minimum-degree node, repeat), so the scale path
+is the h-index fixpoint of Lü et al. (Nature Physics 2016, "The
+H-index of a network node"): initialize c₀(v) = degree(v); each round
+set c_{t+1}(v) = H(c_t(u) : u ∈ N(v)) — the h-index of the neighbor
+values (the largest h with ≥ h neighbors valued ≥ h). The sequence is
+monotone non-increasing and converges EXACTLY to the core number.
+
+Spark shape, one round = one shuffle join + one keyed window:
+
+- neighbor values: ``sym_edges ⨝ coreness`` on the neighbor end;
+- per-node h-index with pure column algebra: sort each node's
+  neighbor values descending (``row_number`` over a BY-NODE window —
+  partitioned, never global), then ``max(least(value, rank))`` — the
+  textbook h-index identity;
+- frontier discipline: a node's h can only change if a NEIGHBOR's
+  value changed last round, so each round recomputes only the changed
+  set's neighborhood (two hash joins to build the affected set, the
+  rest of the state carries over) — the same monotone-frontier
+  argument WCC/LPA use;
+- state is the O(V) (id, core) frame, re-rooted per round via
+  eager localCheckpoint like every other kernel loop here.
+
+Differential anchor: an exact driver-side peeling implementation on
+collected fixtures (tests), plus the unrolled same-recurrence SQL
+oracle on the driver-gate corpus.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..graph import Graph, undirect
+from ..plans.checkpointing import adaptive_disabled, check_termination
+
+
+def core_decomposition(
+    graph: Graph,
+    max_iterations: int = 200,
+    termination=None,
+) -> tuple[DataFrame, dict]:
+    """Core number per node: (id, core). Undirected semantics — edges
+    are symmetrized and deduped, self-loops dropped (a self-loop never
+    keeps a node in a higher core). Isolated nodes get core 0."""
+    spark = graph.edges.sparkSession
+    t0 = time.time()
+    id_t = graph.id_type()
+
+    sym = (
+        undirect(graph.edges)
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.col("src").cast(id_t).alias("node"), F.col("dst").cast(id_t).alias("nbr"))
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+    # partition by the JOIN key (nbr): each round joins coreness on the
+    # neighbor end; the edge table then never re-shuffles
+    sym = sym.repartition(n_parts, "nbr").persist()
+    sym.count()
+
+    deg = sym.groupBy("node").agg(F.count("*").alias("core"))
+    cur = (
+        graph.nodes.select(F.col("id").cast(id_t).alias("node"))
+        .join(deg, "node", "left")
+        .select("node", F.coalesce("core", F.lit(0)).cast("long").alias("core"))
+        .localCheckpoint(eager=True)
+    )
+    changed = cur  # every node "changed" at t=0
+    rounds = 0
+    converged = False
+    history: list[dict] = []
+
+    w = Window.partitionBy("node").orderBy(F.desc("val"))
+    with adaptive_disabled(spark):
+        for it in range(1, max_iterations + 1):
+            check_termination(spark, termination, it)
+            t_it = time.time()
+            # nodes whose h-index can move: neighbors of changed nodes
+            affected = (
+                sym.join(changed.select(F.col("node").alias("nbr")), "nbr")
+                .select("node").distinct()
+            )
+            vals = (
+                sym.join(affected, "node")
+                .join(cur.select(F.col("node").alias("nbr"), F.col("core").alias("val")), "nbr")
+                .select("node", "val")
+            )
+            h = (
+                vals.withColumn("rn", F.row_number().over(w))
+                .groupBy("node")
+                .agg(F.max(F.least(F.col("val"), F.col("rn"))).alias("h"))
+            )
+            nxt = (
+                cur.join(h, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("h", "core").cast("long").alias("core"),
+                    (F.coalesce("h", "core") != F.col("core")).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = nxt.filter("_chg").select("node", "core")
+            n_changed = changed.count()
+            cur = nxt.select("node", "core")
+            rounds = it
+            history.append({
+                "round": it, "changed": n_changed,
+                "secs": round(time.time() - t_it, 2),
+            })
+            if n_changed == 0:
+                converged = True
+                break
+
+    result = cur.select(F.col("node").cast("long").alias("id"), "core")
+    stats = {
+        "nodes": graph.node_count(),
+        "rounds": rounds,
+        "didConverge": converged,
+        "history": history,
+        "computeMillis": int((time.time() - t0) * 1000),
+    }
+    sym.unpersist()
+    return result, stats
+
+
+def k_core_subgraph(graph: Graph, k: int, **kwargs) -> DataFrame:
+    """Node ids of the k-core (nodes with core number ≥ k) — the
+    filter-side consumer of `core_decomposition`."""
+    cores, _ = core_decomposition(graph, **kwargs)
+    return cores.filter(F.col("core") >= k).select("id")
+
+
+def peel_core_numbers(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Exact sequential peeling (Batagelj–Zaveršnik shape) on a
+    collected edge list — the differential oracle for tests; NOT a
+    distributed path."""
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core: dict[int, int] = {}
+    k = 0
+    remaining = set(adj)
+    while remaining:
+        v = min(remaining, key=lambda x: deg[x])
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.discard(v)
+        for u in adj[v]:
+            if u in remaining:
+                deg[u] -= 1
+    return core

@@ -735,3 +735,69 @@ def test_neighborhood_hll_salted_matches_plain(spark):
     p_rows = {r["depth"]: r["n_pairs_est"] for r in plain.collect()}
     s_rows = {r["depth"]: r["n_pairs_est"] for r in salted.collect()}
     assert p_rows == pytest.approx(s_rows)
+
+
+def test_kcore_matches_exact_peeling(spark):
+    """h-index fixpoint vs the exact sequential peeler on a mixed
+    fixture: two 4-cliques (core 3) bridged, a pendant chain (core 1),
+    and a 5-clique (core 4) sharing one node with a clique."""
+    from neo4j_graph_algorithms_spark.operators.kcore import (
+        core_decomposition,
+        peel_core_numbers,
+    )
+
+    edges = []
+    for base in (0, 10):
+        ns = [base, base + 1, base + 2, base + 3]
+        edges += [(a, b) for a in ns for b in ns if a < b]
+    five = [3, 30, 31, 32, 33]
+    edges += [(a, b) for a in five for b in five if a < b]
+    edges += [(3, 10), (13, 20), (20, 21)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(e)
+    cores, stats = core_decomposition(g)
+    got = {r["id"]: r["core"] for r in cores.collect()}
+    assert got == peel_core_numbers(edges)
+    assert stats["didConverge"]
+
+
+def test_kcore_random_graph_differential(spark):
+    """h-index fixpoint vs exact peeling on a 150-node pseudo-random
+    graph (deterministic LCG edges) — varied degrees, multiple cores."""
+    from neo4j_graph_algorithms_spark.operators.kcore import (
+        core_decomposition,
+        k_core_subgraph,
+        peel_core_numbers,
+    )
+
+    n, x, edges = 150, 7, set()
+    for _ in range(600):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a = x % n
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        b = x % n
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(e)
+    cores, _ = core_decomposition(g)
+    got = {r["id"]: r["core"] for r in cores.collect()}
+    exp = peel_core_numbers(edges)
+    assert got == exp
+    # the k-core subgraph filter agrees with the decomposition
+    kmax = max(exp.values())
+    sub = {r["id"] for r in k_core_subgraph(g, kmax).collect()}
+    assert sub == {v for v, c in exp.items() if c >= kmax}
+
+
+def test_kcore_self_loops_and_isolated(spark):
+    """Self-loops are dropped; isolated nodes (in the node frame but no
+    edges) get core 0."""
+    from neo4j_graph_algorithms_spark.operators.kcore import core_decomposition
+
+    e = spark.createDataFrame([(0, 1), (1, 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(0,), (1,), (9,)], "id long")
+    g = Graph.from_edges(e, nodes=nodes)
+    got = {r["id"]: r["core"] for r in core_decomposition(g)[0].collect()}
+    assert got == {0: 1, 1: 1, 9: 0}
