@@ -1041,6 +1041,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return all_shortest_paths(g, direction="out", max_depth=4)
 
+    def q_random_walks64(spark, sf):
+        # rows-only: the walk's neighbor choice is xxhash64-seeded (not
+        # SQL-expressible); forced-path / edge-validity / determinism /
+        # spread properties are tested in tests/test_round4.py. 64
+        # sources × 2 reps × 4 steps over the doc graph — deterministic
+        # given (graph, seed), so rows are stable across runs.
+        from neo4j_graph_algorithms_spark.operators.random_walk import (
+            random_walks,
+        )
+
+        g = _doc_graph(spark, sf)
+        srcs = (
+            _read(spark, sf, "documents")
+            .select(F.col("doc_id").alias("id"))
+            .filter(F.col("id") < 64)
+        )
+        out, _ = random_walks(g, walk_length=4, walks_per_node=2, sources=srcs)
+        return out
+
     def q_kcore45(spark, sf):
         # core decomposition (EXTENSION): iterative h-index fixpoint on
         # the quantity≥45 part–supplier bipartite graph (cores 1..6 at
@@ -1290,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_exact": q_neighborhood_exact,
         "neighborhood_hll": q_neighborhood_hll,
         "kcore45": q_kcore45,
+        "random_walks64": q_random_walks64,
         "louvain": q_louvain,
         "louvain_multilevel": q_louvain_multilevel,
         "closeness_hops4": q_closeness_hops4,

@@ -801,3 +801,72 @@ def test_kcore_self_loops_and_isolated(spark):
     g = Graph.from_edges(e, nodes=nodes)
     got = {r["id"]: r["core"] for r in core_decomposition(g)[0].collect()}
     assert got == {0: 1, 1: 1, 9: 0}
+
+
+def test_random_walk_forced_cycle(spark):
+    """Out-degree-1 cycle: the walk is forced, so every step is exactly
+    (start + t) mod n regardless of hashing."""
+    from neo4j_graph_algorithms_spark.operators.random_walk import random_walks
+
+    n = 8
+    e = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)], "src long, dst long")
+    g = Graph.from_edges(e)
+    out, stats = random_walks(g, walk_length=5)
+    rows = {(r["source"], r["step"]): r["node"] for r in out.collect()}
+    assert len(rows) == n * 6
+    for s in range(n):
+        for t in range(6):
+            assert rows[(s, t)] == (s + t) % n
+    assert stats["steps_run"] == 5
+
+
+def test_random_walk_valid_deterministic_terminating(spark):
+    """Every consecutive hop is a real edge; two runs are identical;
+    walks stop at the dangling sink; different seeds diverge."""
+    from neo4j_graph_algorithms_spark.operators.random_walk import random_walks
+
+    n = 30
+    edges = sorted({(i, (i * 3 + 1) % n) for i in range(n)}
+                   | {(i, (i * 7 + 2) % n) for i in range(n)}
+                   | {(i, n) for i in range(0, n, 5)})  # n is a sink
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(e)
+    a, _ = random_walks(g, walk_length=6, walks_per_node=2, seed=1)
+    b, _ = random_walks(g, walk_length=6, walks_per_node=2, seed=1)
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+
+    # validity: every (node_t, node_{t+1}) within a walk is an edge
+    eset = set(edges)
+    by_walk: dict = {}
+    for source, rep, step, node in ra:
+        by_walk.setdefault((source, rep), {})[step] = node
+    hops = 0
+    for path in by_walk.values():
+        for t in range(max(path)):
+            if t in path and t + 1 in path:
+                assert (path[t], path[t + 1]) in eset
+                hops += 1
+    assert hops > 0
+    # sink termination: a walk that reaches node n has no later steps
+    for path in by_walk.values():
+        sink_steps = [t for t, v in path.items() if v == n]
+        if sink_steps:
+            assert max(path) == min(sink_steps)
+
+    c, _ = random_walks(g, walk_length=6, walks_per_node=2, seed=2)
+    assert sorted(map(tuple, c.collect())) != ra
+
+
+def test_random_walk_hash_spreads_over_neighbors(spark):
+    """Star center with 40 leaves: 64 independent walks from the
+    center land on many distinct leaves at step 1 (uniform-ish hash
+    choice, not a constant pick)."""
+    from neo4j_graph_algorithms_spark.operators.random_walk import random_walks
+
+    e = spark.createDataFrame([(0, i) for i in range(1, 41)], "src long, dst long")
+    g = Graph.from_edges(e)
+    srcs = spark.createDataFrame([(0,)], "id long")
+    out, _ = random_walks(g, walk_length=1, walks_per_node=64, sources=srcs)
+    leaves = {r["node"] for r in out.filter("step = 1").collect()}
+    assert len(leaves) >= 20
