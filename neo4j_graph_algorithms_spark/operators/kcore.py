@@ -85,15 +85,20 @@ def core_decomposition(
         for it in range(1, max_iterations + 1):
             check_termination(spark, termination, it)
             t_it = time.time()
-            # nodes whose h-index can move: neighbors of changed nodes
+            # nodes whose h-index can move: neighbors of changed nodes.
+            # Both sym uses below are keyed on nbr (its cached
+            # partitioning); the only by-node exchange is the semi-join
+            # + window one, applied to the already-joined value frame —
+            # the window needs that exchange anyway, so the edge table
+            # itself never re-shuffles.
             affected = (
                 sym.join(changed.select(F.col("node").alias("nbr")), "nbr")
-                .select("node").distinct()
+                .select("node")
             )
             vals = (
-                sym.join(affected, "node")
-                .join(cur.select(F.col("node").alias("nbr"), F.col("core").alias("val")), "nbr")
+                sym.join(cur.select(F.col("node").alias("nbr"), F.col("core").alias("val")), "nbr")
                 .select("node", "val")
+                .join(affected, "node", "left_semi")
             )
             h = (
                 vals.withColumn("rn", F.row_number().over(w))

@@ -69,7 +69,11 @@ def random_walks(
         .withColumn("rn", F.row_number().over(w) - 1)
     )
     n_parts = spark.sparkContext.defaultParallelism
-    adj = adj.repartition(n_parts, "src").persist()
+    # partitioned on the STEP join's exact key pair: hash(src) alone
+    # would not satisfy the (src, rn) equi-join and the O(E) adjacency
+    # would re-shuffle every step — this way only the O(walkers)
+    # frontier moves
+    adj = adj.repartition(n_parts, "src", "rn").persist()
     # (node, deg) — renamed so the frontier join is a name-based using-
     # join (deg shares lineage with adj; attribute refs would trip the
     # ambiguous-self-join analyzer when the step joins adj again)
