@@ -106,6 +106,13 @@ HEADLINE = [
     # generation + WCC over paired docs) — first floors this round
     "filter_corpus",
     "ngram_dup_clusters",
+    # round-4 kernel extensions: weighted PageRank, h-index k-core,
+    # exact neighborhood function (MS-BFS aggregate), deterministic
+    # random walks — first floors this round
+    "pagerank_weighted",
+    "kcore45",
+    "neighborhood_exact",
+    "random_walks64",
 ]
 
 # floor-vs-r1 ratio above which we call a regression; r1 is a single
