@@ -111,7 +111,10 @@ e AS MATERIALIZED (SELECT DISTINCT src, dst FROM resolved)
 
 
 def _sql_pagerank_unrolled(
-    iterations: int, seed_pred: str | None = None, weighted: bool = False
+    iterations: int,
+    seed_pred: str | None = None,
+    weighted: bool = False,
+    article: bool = False,
 ) -> str:
     """Reference delta-push recurrence expanded to a CTE chain
     (init 1-d; push d*delta/outdeg; dangling nodes push nothing).
@@ -119,7 +122,8 @@ def _sql_pagerank_unrolled(
     to documents matching the predicate; all other nodes start at 0.
     ``weighted`` pushes d*delta*w/Σw with the deterministic edge weight
     ((src + 2*dst) % 7) + 1 — dependent on BOTH endpoints, so it does
-    not cancel back to the uniform 1/deg split."""
+    not cancel back to the uniform 1/deg split. ``article`` pushes
+    d*delta/(outdeg + E/V) — the ArticleRank denominator."""
     init = f"CASE WHEN {seed_pred} THEN 0.15 ELSE 0.0 END" if seed_pred else "0.15"
     w = "(((e.src + 2*e.dst) % 7) + 1.0)"
     parts = [
@@ -127,15 +131,21 @@ def _sql_pagerank_unrolled(
         (f"deg AS (SELECT src, sum((((src + 2*dst) % 7) + 1.0)) AS d FROM e GROUP BY src),"
          if weighted else
          "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),"),
+        "avgd AS (SELECT (SELECT count(*) * 1.0 FROM e) / (SELECT count(*) FROM documents) AS a),",
         f"r0 AS (SELECT doc_id AS id, {init} AS rank, {init} AS delta FROM documents),",
     ]
-    push = f"r.delta * {w} / deg.d" if weighted else "r.delta / deg.d"
+    if weighted:
+        push = f"r.delta * {w} / deg.d"
+    elif article:
+        push = "r.delta / (deg.d + avgd.a)"
+    else:
+        push = "r.delta / deg.d"
     for k in range(1, iterations + 1):
         p, c = f"r{k - 1}", f"r{k}"
         parts.append(
             f"m{k} AS MATERIALIZED (SELECT e.dst AS id, 0.85 * sum({push}) AS recv "
             f"FROM e JOIN {p} r ON e.src = r.id JOIN deg ON deg.src = e.src "
-            f"WHERE r.delta > 0 GROUP BY e.dst),"
+            f"CROSS JOIN avgd WHERE r.delta > 0 GROUP BY e.dst),"
         )
         parts.append(
             f"{c} AS MATERIALIZED (SELECT r.id, r.rank + coalesce(m.recv, 0) AS rank, "
@@ -807,6 +817,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ranks, _ = pagerank(g, damping=0.85, max_iterations=5, source_nodes=seeds)
         return ranks.select("id", F.round("rank", ROUND).alias("rank"))
 
+    def q_article_rank(spark, sf):
+        # ArticleRank (extension, ships in later Neo4j releases): the
+        # push denominator is outDegree + avgOutDegree (E/V), damping
+        # low-out-degree citers; same delta-push kernel otherwise
+        g = _doc_graph(spark, sf).cache()
+        ranks, _ = pagerank(g, damping=0.85, max_iterations=5, article=True)
+        return ranks.select("id", F.round("rank", ROUND).alias("rank"))
+
     def q_pagerank_weighted(spark, sf):
         # weighted PageRank (extension): push fraction w/Σw with a
         # deterministic weight on BOTH endpoints ((src+2*dst)%7)+1 — a
@@ -1286,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "pagerank_weighted": q_pagerank_weighted,
+        "article_rank": q_article_rank,
         "wcc": q_wcc,
         "wcc_sizes": q_wcc_sizes,
         "triangles": q_triangles,
@@ -1343,6 +1362,7 @@ SELECT degree, count(*) AS n_nodes FROM indeg GROUP BY degree"""
         "pagerank": _sql_pagerank_unrolled(5),
         "pagerank_personalized": _sql_pagerank_unrolled(5, seed_pred="doc_id < 16"),
         "pagerank_weighted": _sql_pagerank_unrolled(5, weighted=True),
+        "article_rank": _sql_pagerank_unrolled(5, article=True),
         "wcc": _sql_wcc_unrolled(14),
         "wcc_sizes": (
             "WITH base AS (" + _sql_wcc_unrolled(14).replace("ORDER BY id", "") + ")\n"

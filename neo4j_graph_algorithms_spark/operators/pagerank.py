@@ -132,6 +132,7 @@ def pagerank(
     termination=None,
     source_nodes: DataFrame | None = None,
     weighted: bool = False,
+    article: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Run PageRank; returns (ranks(id, rank), stats).
 
@@ -146,6 +147,13 @@ def pagerank(
     node whose out-weights sum to 0 behaves as dangling). With all
     weights equal this reduces exactly to the unweighted kernel
     (differential-tested).
+
+    ``article`` (EXTENSION — ArticleRank, ships in later Neo4j
+    releases): push denominator ``outDegree + avgOutDegree`` (avg =
+    E/V over the whole graph) instead of ``outDegree`` — damping the
+    influence of low-out-degree citers. Again only the per-edge
+    ``inv_deg`` changes; the affine fixpoint / delta recurrence is
+    untouched. Mutually exclusive with ``weighted``.
 
     ``source_nodes`` (EXTENSION — no reference counterpart): personalized
     PageRank. Teleport mass ``1-d`` is seeded ONLY at the given (id)
@@ -185,6 +193,8 @@ def pagerank(
     # too close to the 1e-6 parity bar.
     id_t = graph.id_type()
 
+    if weighted and article:
+        raise ValueError("weighted and article are mutually exclusive")
     if weighted:
         # per-edge push fraction w/Σw replaces 1/deg; everything
         # downstream (both plans, salting, folds) is weight-agnostic
@@ -201,10 +211,14 @@ def pagerank(
         out_deg = graph.out_degrees().select(
             F.col("id").cast(id_t).alias("src"), F.col("degree")
         )
+        denom = F.col("degree")
+        if article:
+            avg_deg = graph.edges.count() / max(graph.node_count(), 1)
+            denom = F.col("degree") + F.lit(float(avg_deg))
         edges_with_inv = graph.edges.select(
             F.col("src").cast(id_t).alias("src"), F.col("dst").cast(id_t).alias("dst")
         ).join(out_deg, "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("degree")).alias("inv_deg")
+            "src", "dst", (F.lit(1.0) / denom).alias("inv_deg")
         )
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
     if plan == "csr":

@@ -870,3 +870,39 @@ def test_random_walk_hash_spreads_over_neighbors(spark):
     out, _ = random_walks(g, walk_length=1, walks_per_node=64, sources=srcs)
     leaves = {r["node"] for r in out.filter("step = 1").collect()}
     assert len(leaves) >= 20
+
+
+def test_article_rank_numpy_differential(spark):
+    """ArticleRank delta-push vs a dense numpy replay of the same
+    recurrence (push d*delta/(outdeg + E/V)); low-out-degree citers
+    are damped relative to plain PageRank."""
+    import numpy as np
+
+    from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+
+    n = 12
+    edges = sorted({(i, (i * 3 + 1) % n) for i in range(n)}
+                   | {(i, (i * 5 + 2) % n) for i in range(0, n, 2)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(e)
+    got = {r["id"]: r["rank"]
+           for r in pagerank(g, max_iterations=8, article=True)[0].collect()}
+
+    avg = len(edges) / n
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[s] += 1
+    rank = np.full(n, 0.15)
+    delta = np.full(n, 0.15)
+    for _ in range(8):
+        nxt = np.zeros(n)
+        for s, d in edges:
+            if delta[s] > 0:
+                nxt[d] += 0.85 * delta[s] / (outdeg[s] + avg)
+        rank += nxt
+        delta = nxt
+    for i in range(n):
+        assert got[i] == pytest.approx(rank[i], abs=1e-9)
+
+    with pytest.raises(ValueError):
+        pagerank(g, article=True, weighted=True)
