@@ -1059,6 +1059,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return all_shortest_paths(g, direction="out", max_depth=4)
 
+    def q_doc_sample_10pct(spark, sf):
+        # deterministic Bernoulli-style sample: a pure filter on the
+        # Knuth multiplicative hash order — identical formula in the
+        # oracle, so the kept set matches row-for-row
+        from neo4j_graph_algorithms_spark.pipeline.sampling import hash_sample
+
+        docs = _read(spark, sf, "documents")
+        return hash_sample(docs, 0.1).select("doc_id")
+
+    def q_doc_sample_stratified(spark, sf):
+        # 5 docs per token-count bucket (width 50), hash-ordered with
+        # id tie-break — exactly min(5, |bucket|) rows per stratum
+        from neo4j_graph_algorithms_spark.pipeline.sampling import (
+            stratified_sample,
+        )
+        from neo4j_graph_algorithms_spark.pipeline.text import token_counts
+
+        docs = _read(spark, sf, "documents")
+        toks = token_counts(docs)
+        bucketed = toks.select(
+            "doc_id", F.floor(F.col("n_tokens") / 50).cast("int").alias("bucket")
+        )
+        return stratified_sample(bucketed, ["bucket"], 5)
+
     def q_random_walks64(spark, sf):
         # rows-only: the walk's neighbor choice is xxhash64-seeded (not
         # SQL-expressible); forced-path / edge-validity / determinism /
@@ -1329,6 +1353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_hll": q_neighborhood_hll,
         "kcore45": q_kcore45,
         "random_walks64": q_random_walks64,
+        "doc_sample_10pct": q_doc_sample_10pct,
+        "doc_sample_stratified": q_doc_sample_stratified,
         "louvain": q_louvain,
         "louvain_multilevel": q_louvain_multilevel,
         "closeness_hops4": q_closeness_hops4,
@@ -1431,6 +1457,23 @@ SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM j WHERE jac >= 0.85""",
         "apsp_hops4": _sql_apsp_unrolled(4),
         "neighborhood_exact": _sql_neighborhood_unrolled(4),
         "kcore45": _sql_kcore_unrolled(12),
+        "doc_sample_10pct": (
+            "SELECT doc_id FROM documents "
+            "WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 "
+            f"< {int(0.1 * 1_000_000_007)} ORDER BY doc_id"
+        ),
+        "doc_sample_stratified": """
+WITH tok AS (SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+             FROM documents),
+b AS (SELECT doc_id,
+             CAST(floor(n_tokens / 50) AS INT) AS bucket,
+             row_number() OVER (
+               PARTITION BY floor(n_tokens / 50)
+               ORDER BY (doc_id % 1000000007) * 2654435761 % 1000000007, doc_id
+             ) AS rn
+      FROM tok)
+SELECT doc_id, bucket FROM b WHERE rn <= 5 ORDER BY doc_id""",
         "louvain": _sql_louvain_unrolled(1),
         "closeness_hops4": _sql_closeness_unrolled(4),
         "harmonic_hops4": _sql_harmonic_unrolled(4),

@@ -906,3 +906,41 @@ def test_article_rank_numpy_differential(spark):
 
     with pytest.raises(ValueError):
         pagerank(g, article=True, weighted=True)
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    """The fraction sample is a pure filter: stable across runs and
+    partitionings, ~fraction of rows, and monotone in fraction (a
+    smaller sample is a subset of a larger one)."""
+    from neo4j_graph_algorithms_spark.pipeline.sampling import hash_sample
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(df, 0.2).collect()}
+    b = {r["doc_id"] for r in hash_sample(df.repartition(7), 0.2).collect()}
+    assert a == b
+    assert 0.15 * 10_000 < len(a) < 0.25 * 10_000
+    small = {r["doc_id"] for r in hash_sample(df, 0.05).collect()}
+    assert small <= a
+    assert hash_sample(df, 0.0).count() == 0
+    assert hash_sample(df, 1.0).count() == 10_000
+    with pytest.raises(ValueError):
+        hash_sample(df, 1.5)
+
+
+def test_stratified_sample_exact_per_key(spark):
+    """Exactly min(n, |stratum|) rows per key; the pick is stable
+    across partitionings (hash order + id tie-break is total)."""
+    from neo4j_graph_algorithms_spark.pipeline.sampling import stratified_sample
+
+    rows = [(i, i % 4) for i in range(100)] + [(1000, 9)]  # bucket 9: 1 row
+    df = spark.createDataFrame(rows, "doc_id long, bucket int")
+    out = stratified_sample(df, ["bucket"], 7)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["bucket"], set()).add(r["doc_id"])
+    assert {k: len(v) for k, v in got.items()} == {0: 7, 1: 7, 2: 7, 3: 7, 9: 1}
+    out2 = stratified_sample(df.repartition(11), ["bucket"], 7)
+    got2 = {}
+    for r in out2.collect():
+        got2.setdefault(r["bucket"], set()).add(r["doc_id"])
+    assert got == got2
