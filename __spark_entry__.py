@@ -1059,6 +1059,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return all_shortest_paths(g, direction="out", max_depth=4)
 
+    def q_node_jaccard(spark, sf):
+        # neighborhood-Jaccard node similarity (extension; the era's
+        # companion library ships algo.similarity.jaccard): same
+        # shared-neighbor join algebra as the exact n-gram dedup plan
+        from neo4j_graph_algorithms_spark.operators.node_similarity import (
+            node_similarity,
+        )
+
+        g = _doc_graph(spark, sf)
+        out = node_similarity(g, threshold=0.15, direction="out")
+        return out.select(
+            "id_a", "id_b", F.round("similarity", ROUND).alias("similarity")
+        )
+
     def q_doc_sample_10pct(spark, sf):
         # deterministic Bernoulli-style sample: a pure filter on the
         # Knuth multiplicative hash order — identical formula in the
@@ -1353,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_hll": q_neighborhood_hll,
         "kcore45": q_kcore45,
         "random_walks64": q_random_walks64,
+        "node_jaccard": q_node_jaccard,
         "doc_sample_10pct": q_doc_sample_10pct,
         "doc_sample_stratified": q_doc_sample_stratified,
         "louvain": q_louvain,
@@ -1457,6 +1472,18 @@ SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM j WHERE jac >= 0.85""",
         "apsp_hops4": _sql_apsp_unrolled(4),
         "neighborhood_exact": _sql_neighborhood_unrolled(4),
         "kcore45": _sql_kcore_unrolled(12),
+        "node_jaccard": (
+            "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",\n"
+            "sizes AS (SELECT src, count(*) AS sz FROM e GROUP BY src),\n"
+            "common AS (SELECT a.src AS id_a, b.src AS id_b, count(*) AS c\n"
+            "           FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src\n"
+            "           GROUP BY a.src, b.src)\n"
+            "SELECT id_a, id_b,\n"
+            f"       ROUND(c * 1.0 / (sa.sz + sb.sz - c), {ROUND}) AS similarity\n"
+            "FROM common JOIN sizes sa ON sa.src = id_a\n"
+            "     JOIN sizes sb ON sb.src = id_b\n"
+            "WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.15 ORDER BY id_a, id_b"
+        ),
         "doc_sample_10pct": (
             "SELECT doc_id FROM documents "
             "WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 "

@@ -944,3 +944,99 @@ def test_stratified_sample_exact_per_key(spark):
     for r in out2.collect():
         got2.setdefault(r["bucket"], set()).add(r["doc_id"])
     assert got == got2
+
+
+def test_node_similarity_exact_fixture(spark):
+    """Hand-checked Jaccard values: N(0)={1,2,3}, N(4)={2,3,5} →
+    J = 2/4; N(6)={1,2,3} → J(0,6)=1.0; threshold filters correctly."""
+    from neo4j_graph_algorithms_spark.operators.node_similarity import (
+        node_similarity,
+    )
+
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (4, 2), (4, 3), (4, 5), (6, 1), (6, 2), (6, 3)],
+        "src long, dst long",
+    )
+    g = Graph.from_edges(e)
+    got = {(r["id_a"], r["id_b"]): r["similarity"]
+           for r in node_similarity(g, threshold=0.0).collect()}
+    assert got[(0, 4)] == pytest.approx(0.5)
+    assert got[(0, 6)] == pytest.approx(1.0)
+    assert got[(4, 6)] == pytest.approx(0.5)
+    strict = {(r["id_a"], r["id_b"])
+              for r in node_similarity(g, threshold=0.75).collect()}
+    assert strict == {(0, 6)}
+
+
+def test_node_similarity_python_differential_and_topk(spark):
+    """vs a brute-force python Jaccard on a pseudo-random digraph; the
+    top_k filter keeps a pair iff either endpoint ranks it top-k."""
+    from neo4j_graph_algorithms_spark.operators.node_similarity import (
+        node_similarity,
+    )
+
+    n = 40
+    edges = sorted({(i, (i * 3 + 1) % n) for i in range(n)}
+                   | {(i, (i * 5 + 2) % n) for i in range(n)}
+                   | {(i, (i * 7 + 3) % n) for i in range(0, n, 2)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(e)
+    got = {(r["id_a"], r["id_b"]): r["similarity"]
+           for r in node_similarity(g, threshold=0.2).collect()}
+
+    nbrs: dict[int, set] = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+    exp = {}
+    ids = sorted(nbrs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(nbrs[a] & nbrs[b])
+            if inter:
+                j = inter / len(nbrs[a] | nbrs[b])
+                if j >= 0.2:
+                    exp[(a, b)] = j
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v)
+
+    top1 = {(r["id_a"], r["id_b"])
+            for r in node_similarity(g, threshold=0.0, top_k=1).collect()}
+    # every kept pair is some endpoint's best; every node with any
+    # similar partner appears in at least one kept pair
+    best: dict[int, float] = {}
+    allp = {}
+    for a in ids:
+        for b in ids:
+            if a < b:
+                inter = len(nbrs[a] & nbrs[b])
+                if inter:
+                    j = inter / len(nbrs[a] | nbrs[b])
+                    allp[(a, b)] = j
+                    best[a] = max(best.get(a, 0), j)
+                    best[b] = max(best.get(b, 0), j)
+    for a, b in top1:
+        j = allp[(a, b)]
+        assert j == pytest.approx(best[a]) or j == pytest.approx(best[b])
+    covered = {x for p in top1 for x in p}
+    assert covered == set(best)
+
+
+def test_node_similarity_hub_cap(spark):
+    """max_common_degree drops the hub neighbor from the candidate
+    join: the star pairs vanish and sizes consistently exclude it."""
+    from neo4j_graph_algorithms_spark.operators.node_similarity import (
+        node_similarity,
+    )
+
+    # every node points at hub 99; 0 and 1 also share neighbor 50
+    e = spark.createDataFrame(
+        [(i, 99) for i in range(10)] + [(0, 50), (1, 50)], "src long, dst long"
+    )
+    g = Graph.from_edges(e)
+    uncapped = {(r["id_a"], r["id_b"]): r["similarity"]
+                for r in node_similarity(g, threshold=0.0).collect()}
+    assert len(uncapped) == 45  # all 10-choose-2 via the hub
+    capped = {(r["id_a"], r["id_b"]): r["similarity"]
+              for r in node_similarity(g, threshold=0.0, max_common_degree=5).collect()}
+    assert capped == {(0, 1): pytest.approx(1.0)}  # only {50} remains
