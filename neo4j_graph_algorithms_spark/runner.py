@@ -40,11 +40,15 @@ def _wrap_df(fn):
 
 def _registry() -> dict[str, Procedure]:
     from .operators.betweenness import betweenness
+    from .operators.kcore import core_decomposition
     from .operators.label_propagation import label_propagation
     from .operators.louvain import louvain, louvain_multilevel
     from .operators.msbfs import all_shortest_paths, closeness, harmonic
     from .operators.mst import mst
+    from .operators.neighborhood import neighborhood_function
+    from .operators.node_similarity import node_similarity
     from .operators.pagerank import pagerank
+    from .operators.random_walk import random_walks
     from .operators.scc import scc
     from .operators.shortest_path import (
         all_shortest_paths_weighted,
@@ -78,6 +82,10 @@ def _registry() -> dict[str, Procedure]:
         Procedure("algo.betweenness.sampled", "RA-Brandes sampled betweenness (RABrandesBetweennessCentrality.java)", betweenness),
         Procedure("algo.louvain", "single-level Louvain (Louvain.java:99-140)", louvain),
         Procedure("algo.louvain.multilevel", "hierarchical Louvain: local moves + community contraction (extension beyond the single-level reference)", louvain_multilevel),
+        Procedure("algo.kcore", "core decomposition via the iterative h-index fixpoint (extension)", core_decomposition),
+        Procedure("algo.neighborhood", "HyperANF neighborhood function + effective diameter (extension)", neighborhood_function),
+        Procedure("algo.randomWalk", "deterministic join-based uniform random walks (extension)", random_walks),
+        Procedure("algo.similarity.jaccard", "neighborhood-Jaccard node similarity (extension)", _wrap_df(node_similarity)),
     ]
     return {p.name: p for p in procs}
 

@@ -1040,3 +1040,20 @@ def test_node_similarity_hub_cap(spark):
     capped = {(r["id_a"], r["id_b"]): r["similarity"]
               for r in node_similarity(g, threshold=0.0, max_common_degree=5).collect()}
     assert capped == {(0, 1): pytest.approx(1.0)}  # only {50} remains
+
+
+def test_registry_includes_round4_extensions(spark):
+    """The new operators dispatch through the algo.list/run surface."""
+    from neo4j_graph_algorithms_spark import runner
+
+    names = {p["name"] for p in runner.list_procedures()}
+    assert {"algo.kcore", "algo.neighborhood", "algo.randomWalk",
+            "algo.similarity.jaccard"} <= names
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    g = Graph.from_edges(e)
+    df, stats = runner.run("algo.kcore", g)
+    assert df.count() == 4 and stats["didConverge"]
+    df2, _ = runner.run("algo.randomWalk", g, walk_length=3)
+    assert df2.filter("step = 0").count() == 4
