@@ -1073,6 +1073,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id_a", "id_b", F.round("similarity", ROUND).alias("similarity")
         )
 
+    def q_node_overlap(spark, sf):
+        # overlap-coefficient variant (|A∩B| / min|A|,|B|) of the same
+        # shared-neighbor plan — subset-affinity detection
+        from neo4j_graph_algorithms_spark.operators.node_similarity import (
+            node_similarity,
+        )
+
+        g = _doc_graph(spark, sf)
+        out = node_similarity(g, threshold=0.34, direction="out", metric="overlap")
+        return out.select(
+            "id_a", "id_b", F.round("similarity", ROUND).alias("similarity")
+        )
+
     def q_doc_sample_10pct(spark, sf):
         # deterministic Bernoulli-style sample: a pure filter on the
         # Knuth multiplicative hash order — identical formula in the
@@ -1368,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore45": q_kcore45,
         "random_walks64": q_random_walks64,
         "node_jaccard": q_node_jaccard,
+        "node_overlap": q_node_overlap,
         "doc_sample_10pct": q_doc_sample_10pct,
         "doc_sample_stratified": q_doc_sample_stratified,
         "louvain": q_louvain,
@@ -1483,6 +1497,18 @@ SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM j WHERE jac >= 0.85""",
             "FROM common JOIN sizes sa ON sa.src = id_a\n"
             "     JOIN sizes sb ON sb.src = id_b\n"
             "WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.15 ORDER BY id_a, id_b"
+        ),
+        "node_overlap": (
+            "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",\n"
+            "sizes AS (SELECT src, count(*) AS sz FROM e GROUP BY src),\n"
+            "common AS (SELECT a.src AS id_a, b.src AS id_b, count(*) AS c\n"
+            "           FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src\n"
+            "           GROUP BY a.src, b.src)\n"
+            "SELECT id_a, id_b,\n"
+            f"       ROUND(c * 1.0 / least(sa.sz, sb.sz), {ROUND}) AS similarity\n"
+            "FROM common JOIN sizes sa ON sa.src = id_a\n"
+            "     JOIN sizes sb ON sb.src = id_b\n"
+            "WHERE c * 1.0 / least(sa.sz, sb.sz) >= 0.34 ORDER BY id_a, id_b"
         ),
         "doc_sample_10pct": (
             "SELECT doc_id FROM documents "

@@ -30,15 +30,32 @@ from pyspark.sql.window import Window
 from ..graph import Graph, undirect
 
 
+#: metric -> similarity expression over (common, sz_a, sz_b). Jaccard
+#: is the nodeSimilarity default; overlap (subset affinity) and cosine
+#: (set cosine) mirror the companion library's algo.similarity.overlap
+#: / .cosine over id lists.
+_METRICS = {
+    "jaccard": lambda c, a, b: c / (a + b - c),
+    "overlap": lambda c, a, b: c / F.least(a, b),
+    "cosine": lambda c, a, b: c / F.sqrt(a * b),
+}
+
+
 def node_similarity(
     graph: Graph,
     threshold: float = 0.1,
     direction: str = "out",
     max_common_degree: int | None = None,
     top_k: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Jaccard-similar node pairs: (id_a, id_b, similarity), a < b,
-    similarity ≥ threshold over `direction` neighborhoods."""
+    """Similar node pairs: (id_a, id_b, similarity), a < b,
+    similarity ≥ threshold over `direction` neighborhoods.
+    ``metric``: jaccard | overlap | cosine (see _METRICS) — all three
+    share the intersection/size frames; only the final expression
+    differs."""
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}")
     if direction == "out":
         adj = graph.edges.select("src", "dst")
     elif direction == "in":
@@ -68,8 +85,9 @@ def node_similarity(
         .join(sizes.select(F.col("src").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .select(
             "id_a", "id_b",
-            (F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
-             ).alias("similarity"),
+            _METRICS[metric](
+                F.col("common"), F.col("sz_a"), F.col("sz_b")
+            ).alias("similarity"),
         )
         .filter(F.col("similarity") >= threshold)
     )

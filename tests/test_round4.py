@@ -1057,3 +1057,46 @@ def test_registry_includes_round4_extensions(spark):
     assert df.count() == 4 and stats["didConverge"]
     df2, _ = runner.run("algo.randomWalk", g, walk_length=3)
     assert df2.filter("step = 0").count() == 4
+
+
+def test_node_similarity_metric_variants(spark):
+    """overlap = c/min, cosine = c/sqrt(ab) vs brute-force python on
+    the same fixture; unknown metric raises."""
+    import math
+
+    from neo4j_graph_algorithms_spark.operators.node_similarity import (
+        node_similarity,
+    )
+
+    n = 30
+    edges = sorted({(i, (i * 3 + 1) % n) for i in range(n)}
+                   | {(i, (i * 5 + 2) % n) for i in range(n)}
+                   | {(i, (i * 7 + 3) % n) for i in range(0, n, 2)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(e)
+
+    nbrs: dict[int, set] = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+    ids = sorted(nbrs)
+
+    for metric, fn in (
+        ("overlap", lambda c, a, b: c / min(a, b)),
+        ("cosine", lambda c, a, b: c / math.sqrt(a * b)),
+    ):
+        got = {(r["id_a"], r["id_b"]): r["similarity"]
+               for r in node_similarity(g, threshold=0.3, metric=metric).collect()}
+        exp = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                c = len(nbrs[a] & nbrs[b])
+                if c:
+                    v = fn(c, len(nbrs[a]), len(nbrs[b]))
+                    if v >= 0.3:
+                        exp[(a, b)] = v
+        assert set(got) == set(exp), metric
+        for k, v in exp.items():
+            assert got[k] == pytest.approx(v), (metric, k)
+
+    with pytest.raises(ValueError):
+        node_similarity(g, metric="pearson")
