@@ -1100,3 +1100,40 @@ def test_node_similarity_metric_variants(spark):
 
     with pytest.raises(ValueError):
         node_similarity(g, metric="pearson")
+
+
+def test_round4_ops_degenerate_inputs(spark):
+    """Edge cases across the new operators: edgeless graphs, isolated
+    nodes, single-node strata — no crashes, sane outputs."""
+    from neo4j_graph_algorithms_spark.operators.kcore import core_decomposition
+    from neo4j_graph_algorithms_spark.operators.neighborhood import (
+        neighborhood_exact,
+        neighborhood_function,
+    )
+    from neo4j_graph_algorithms_spark.operators.node_similarity import (
+        node_similarity,
+    )
+    from neo4j_graph_algorithms_spark.operators.random_walk import random_walks
+
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    empty_e = spark.createDataFrame([], "src long, dst long, weight double")
+    from neo4j_graph_algorithms_spark.graph import Graph as G
+    g = G(nodes=nodes, edges=empty_e)
+
+    cores, stats = core_decomposition(g)
+    assert {r["core"] for r in cores.collect()} == {0} and stats["didConverge"]
+
+    ex = {r["depth"]: r["n_pairs"]
+          for r in neighborhood_exact(g, max_depth=3).collect()}
+    assert ex == {1: 0, 2: 0, 3: 0}
+
+    nf, nstats = neighborhood_function(g, max_depth=3, p=8)
+    assert nstats["didConverge"] and nstats["depths_run"] == 1
+    assert all(r["n_pairs_est"] < 1.0 for r in nf.collect())
+
+    walks, wstats = random_walks(g, walk_length=3)
+    assert walks.count() == 3  # step-0 rows only; no edges to follow
+    assert wstats["steps_run"] == 0
+
+    sims = node_similarity(g, threshold=0.0)
+    assert sims.count() == 0
