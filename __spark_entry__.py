@@ -825,6 +825,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ranks, _ = pagerank(g, damping=0.85, max_iterations=5, article=True)
         return ranks.select("id", F.round("rank", ROUND).alias("rank"))
 
+    def q_pagerank_warm(spark, sf):
+        # warm-start / incremental PageRank (extension): restart from a
+        # 3-iteration estimate; the residual pass applies exactly the
+        # cold delta_4 and one loop superstep applies delta_5, so the
+        # result is bit-for-float-bit the cold 5-iteration chain — the
+        # same unrolled SQL oracle as `pagerank`
+        g = _doc_graph(spark, sf).cache()
+        r3, _ = pagerank(g, damping=0.85, max_iterations=3)
+        ranks, _ = pagerank(g, damping=0.85, max_iterations=1, init_ranks=r3)
+        return ranks.select("id", F.round("rank", ROUND).alias("rank"))
+
     def q_pagerank_weighted(spark, sf):
         # weighted PageRank (extension): push fraction w/Σw with a
         # deterministic weight on BOTH endpoints ((src+2*dst)%7)+1 — a
@@ -1355,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_personalized": q_pagerank_personalized,
         "pagerank_weighted": q_pagerank_weighted,
+        "pagerank_warm": q_pagerank_warm,
         "article_rank": q_article_rank,
         "wcc": q_wcc,
         "wcc_sizes": q_wcc_sizes,
@@ -1417,6 +1429,7 @@ SELECT degree, count(*) AS n_nodes FROM indeg GROUP BY degree"""
         "pagerank": _sql_pagerank_unrolled(5),
         "pagerank_personalized": _sql_pagerank_unrolled(5, seed_pred="doc_id < 16"),
         "pagerank_weighted": _sql_pagerank_unrolled(5, weighted=True),
+        "pagerank_warm": _sql_pagerank_unrolled(5),
         "article_rank": _sql_pagerank_unrolled(5, article=True),
         "wcc": _sql_wcc_unrolled(14),
         "wcc_sizes": (

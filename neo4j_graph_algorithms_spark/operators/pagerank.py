@@ -133,6 +133,7 @@ def pagerank(
     source_nodes: DataFrame | None = None,
     weighted: bool = False,
     article: bool = False,
+    init_ranks: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run PageRank; returns (ranks(id, rank), stats).
 
@@ -154,6 +155,24 @@ def pagerank(
     influence of low-out-degree citers. Again only the per-edge
     ``inv_deg`` changes; the affine fixpoint / delta recurrence is
     untouched. Mutually exclusive with ``weighted``.
+
+    ``init_ranks`` (EXTENSION — warm-start / incremental PageRank):
+    restart the iteration from a previous (id, rank) estimate — e.g.
+    the last converged run before edges were appended. One O(E)
+    residual pass seeds ``delta₀ = α + d·Mᵀr₀ − r₀`` and the SAME
+    delta-push loop then runs with SIGNED deltas (a graph change can
+    lower mass, so negative residuals must propagate; the geometric
+    series r* = r₀ + Σ (d·Mᵀ)ᵏ·delta₀ converges identically). The
+    residual pass itself counts as a superstep (it applies delta₀).
+    Exact identity used by the oracle: residual(r_k of a cold run)
+    equals the cold run's delta_{k+1}, so warm-starting from a
+    k-iteration estimate and running j loop supersteps reproduces cold
+    k+1+j bit-for-float-bit. Nodes absent from ``init_ranks`` (appended
+    nodes) start at the cold ``α``. For a small perturbation the
+    residual is concentrated near the changed edges, so convergence
+    takes O(log(perturbation)/log d) supersteps instead of the full
+    cold schedule — the checkpoint-resume story extended to GRAPH
+    updates, not just mid-run restarts.
 
     ``source_nodes`` (EXTENSION — no reference counterpart): personalized
     PageRank. Teleport mass ``1-d`` is seeded ONLY at the given (id)
@@ -244,6 +263,22 @@ def pagerank(
     )
 
     start_step = 0
+    def send(active: DataFrame) -> DataFrame:
+        """d·Mᵀ·active — (id, delta) messages for an (src-named-id,
+        delta) frame; shared by the superstep push and the warm-start
+        residual pass."""
+        if plan == "csr":
+            msgs = _messages_csr(edges_inv, active, damping)
+        elif salt_buckets > 1:
+            msgs = _messages_salted(edges_inv, active, damping, salt_buckets)
+        else:
+            msgs = _messages_dataframe(edges_inv, active, damping)
+        return msgs.select(F.col("dst").alias("id"), F.col("recv").alias("delta"))
+
+    signed = init_ranks is not None
+    if signed and source_nodes is not None:
+        raise ValueError("init_ranks and source_nodes are mutually exclusive")
+
     state = None
     if resume and checkpoint_dir:
         latest = cache.latest()
@@ -251,7 +286,33 @@ def pagerank(
             start_step, state, _meta = latest
             start_step += 1
     if state is None:
-        if source_nodes is not None:
+        if init_ranks is not None:
+            # warm start: delta₀ = α + d·Mᵀ·r₀ − r₀ (one O(E) pass);
+            # appended nodes absent from the estimate start cold at α
+            r0 = (
+                graph.nodes.select(F.col("id").cast(id_t).alias("id"))
+                .join(
+                    init_ranks.select(
+                        F.col("id").cast(id_t).alias("id"), F.col("rank")
+                    ),
+                    "id", "left",
+                )
+                .select("id", F.coalesce("rank", F.lit(alpha)).alias("rank"))
+                .localCheckpoint(eager=True)  # referenced twice below
+            )
+            # the residual pass IS a superstep: the loop convention is
+            # that state.delta is already folded into state.rank, so
+            # rank₀' = r₀ + delta₀ = α + d·Mᵀ·r₀ (warm-starting from a
+            # cold k-iteration estimate thus lands exactly on cold k+1,
+            # and each loop iteration advances one more cold step)
+            msgs = send(r0.select(F.col("id").alias("src"), F.col("rank").alias("delta")))
+            state = r0.join(msgs.withColumnRenamed("delta", "_recv"), "id", "left").select(
+                "id",
+                (F.lit(alpha) + F.coalesce("_recv", F.lit(0.0))).alias("rank"),
+                (F.lit(alpha) + F.coalesce("_recv", F.lit(0.0)) - F.col("rank")
+                 ).alias("delta"),
+            )
+        elif source_nodes is not None:
             seeds = source_nodes.select(
                 F.col("id").cast(id_t).alias("id"), F.lit(True).alias("_seed")
             ).distinct()
@@ -270,28 +331,28 @@ def pagerank(
         start_step = 1
 
     def push(cur: DataFrame) -> DataFrame:
-        """One delta superstep: cur(id, delta>0) → next deltas(id, delta).
+        """One delta superstep: cur(id, active delta) → next deltas.
 
         Iterating on the *delta* frame alone (never the full rank state)
         keeps each superstep's plan referencing its predecessor exactly
         once, so a fused block grows the logical plan linearly instead
         of 2^k (the rank join would reference the state twice).
         """
-        active = cur.select(F.col("id").alias("src"), "delta")
-        if plan == "csr":
-            msgs = _messages_csr(edges_inv, active, damping)
-        elif salt_buckets > 1:
-            msgs = _messages_salted(edges_inv, active, damping, salt_buckets)
-        else:
-            msgs = _messages_dataframe(edges_inv, active, damping)
-        return msgs.select(F.col("dst").alias("id"), F.col("recv").alias("delta"))
+        return send(cur.select(F.col("id").alias("src"), "delta"))
+
+    # warm starts propagate SIGNED residuals; cold deltas are >= 0 and
+    # the != 0 form would be equivalent, but > 0 keeps the cold plan
+    # byte-identical to previous rounds' recorded plans
+    active_pred = (
+        (F.col("delta") != 0.0) if signed else (F.col("delta") > 0)
+    )
 
     history: list[dict] = []
     ran = 0
     converged = False
     fold = max(1, fuse)
     acc = state.select("id", "rank")
-    cur = state.select("id", "delta").filter(F.col("delta") > 0)
+    cur = state.select("id", "delta").filter(active_pred)
     pending: list[DataFrame] = []
 
     def fold_state(acc: DataFrame, pending: list[DataFrame], cur: DataFrame) -> DataFrame:
@@ -326,7 +387,11 @@ def pagerank(
             pending.append(cur)
             ran = it
             if tolerance is not None:
-                max_delta = cur.agg(F.max("delta")).collect()[0][0] or 0.0
+                max_delta = (
+                    cur.agg(F.max(F.abs(F.col("delta")))).collect()[0][0]
+                    if signed
+                    else cur.agg(F.max("delta")).collect()[0][0]
+                ) or 0.0
                 if max_delta < tolerance:
                     converged = True
             else:
@@ -351,7 +416,7 @@ def pagerank(
                 for p in pending:
                     p.unpersist()
                 pending = []
-                cur = state.select("id", "delta").filter(F.col("delta") > 0)
+                cur = state.select("id", "delta").filter(active_pred)
                 folded = True
             history.append({
                 "superstep": it, "max_delta": max_delta,

@@ -1137,3 +1137,56 @@ def test_round4_ops_degenerate_inputs(spark):
 
     sims = node_similarity(g, threshold=0.0)
     assert sims.count() == 0
+
+
+def test_warm_start_equals_cold_continuation(spark):
+    """residual(r_k) == delta_{k+1} exactly, and the residual pass
+    itself applies one step — so warm-starting from the cold
+    3-iteration estimate and running 1 loop superstep reproduces cold
+    5 iterations."""
+    from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+
+    n = 12
+    edges = sorted({(i, (i * 3 + 1) % n) for i in range(n)}
+                   | {(i, (i * 5 + 2) % n) for i in range(0, n, 2)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph.from_edges(e)
+    r3, _ = pagerank(g, max_iterations=3)
+    warm, _ = pagerank(g, max_iterations=1, init_ranks=r3)
+    cold, _ = pagerank(g, max_iterations=5)
+    w = {r["id"]: r["rank"] for r in warm.collect()}
+    c = {r["id"]: r["rank"] for r in cold.collect()}
+    assert w == pytest.approx(c, abs=1e-12)
+
+
+def test_warm_start_incremental_after_edge_append(spark):
+    """Append edges, warm-start from the old graph's converged ranks:
+    same fixpoint as a cold run on the new graph, in fewer supersteps;
+    warm-starting from the new fixpoint itself converges immediately."""
+    from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+
+    n = 16
+    base = sorted({(i, (i * 3 + 1) % n) for i in range(n)})
+    extra = [(0, 7), (7, 0), (3, 11)]
+    g1 = Graph.from_edges(spark.createDataFrame(base, "src long, dst long"))
+    g2 = Graph.from_edges(
+        spark.createDataFrame(sorted(set(base) | set(extra)), "src long, dst long")
+    )
+    # d=0.85 → the tail shrinks 0.85^k: ~1e-7 takes ~100 supersteps
+    r1, _ = pagerank(g1, max_iterations=160, tolerance=1e-7)
+    cold, cstats = pagerank(g2, max_iterations=160, tolerance=1e-7)
+    warm, wstats = pagerank(g2, max_iterations=160, tolerance=1e-7, init_ranks=r1)
+    c = {r["id"]: r["rank"] for r in cold.collect()}
+    w = {r["id"]: r["rank"] for r in warm.collect()}
+    # remaining tail ≤ tol·d/(1-d) ≈ 5.7e-7 on each side
+    assert w == pytest.approx(c, abs=2e-6)
+    assert wstats["didConverge"] and cstats["didConverge"]
+    # the warm residual starts at the perturbation scale, not at α·V
+    assert wstats["iterations"] < cstats["iterations"]
+
+    again, astats = pagerank(g2, max_iterations=60, tolerance=1e-4, init_ranks=warm)
+    assert astats["iterations"] <= 3  # residual already ~tol
+
+    with pytest.raises(ValueError):
+        seeds = spark.createDataFrame([(0,)], "id long")
+        pagerank(g2, init_ranks=warm, source_nodes=seeds)
