@@ -232,9 +232,12 @@ def neighborhood_function(
         target = 0.9 * nf[-1]
         for i, v in enumerate(nf):
             if v >= target:
+                # nf[i] is depth i+1; interpolate from the previous
+                # depth (depth 0 contributes 0 non-self pairs), so the
+                # crossing lands in (i, i+1]
                 lo = nf[i - 1] if i > 0 else 0.0
                 frac = (target - lo) / (v - lo) if v > lo else 0.0
-                eff_d = (i - 1 if i > 0 else 0) + 1 + frac
+                eff_d = i + frac
                 break
 
     rows = [(h["depth"], float(h["n_pairs_est"])) for h in history]
