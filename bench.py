@@ -113,6 +113,14 @@ HEADLINE = [
     "kcore45",
     "neighborhood_exact",
     "random_walks64",
+    # late round-4 extensions: warm-start/incremental PageRank,
+    # ArticleRank, node-similarity pairs (jaccard + overlap), and the
+    # stratified sampler — first floors this round
+    "pagerank_warm",
+    "article_rank",
+    "node_jaccard",
+    "node_overlap",
+    "doc_sample_stratified",
 ]
 
 # floor-vs-r1 ratio above which we call a regression; r1 is a single
