@@ -9,11 +9,19 @@ Strategy: the link-graph kernels run over an edge table extracted from a
 repo-file table derived *deterministically from the driver's `documents`
 testdata* (`sources/link_extract.py`), so a DuckDB oracle can rebuild the
 identical content strings with plain SQL and re-derive the same edges.
-The iterative kernels (PageRank / WCC / LPA) get **unrolled** SQL
-oracles — the exact superstep recurrence expanded to a fixed CTE chain —
-because both engines are deterministic given synchronous semantics.
-Floating-point columns are rounded (6 dp) on BOTH sides so summation
-order can't flip the value hash.
+The iterative kernels (PageRank and variants / WCC / LPA / SCC /
+delta-SSSP / MST / Brandes / k-core / dup-cluster WCC) get **unrolled**
+SQL oracles — the exact superstep recurrence expanded to a fixed CTE
+chain (run past the observed convergence depth where the recurrence is
+a monotone fixpoint) — because both engines are deterministic given
+synchronous semantics. Floating-point columns are rounded (6 dp) on
+BOTH sides so summation order can't flip the value hash.
+
+46 queries: 40 oracle-backed, 6 rows-only (`minhash_dedup_pairs`,
+`simhash_pairs`, `ann_lsh_topk`, `neighborhood_hll`, `random_walks64`,
+`louvain_multilevel` — each rides seeded hashing or an
+argmax-contraction hierarchy that plain SQL can't replay; each is
+differential-tested in pytest instead).
 """
 
 from __future__ import annotations
