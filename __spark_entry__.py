@@ -1078,6 +1078,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = _doc_graph(spark, sf)
         return all_shortest_paths(g, direction="out", max_depth=4)
 
+    def q_graph_summary(spark, sf):
+        # whole-graph profile (extension): one-row summary + degree
+        # assortativity over the doc link graph — pure aggregates
+        from neo4j_graph_algorithms_spark.operators.graph_stats import (
+            degree_assortativity,
+            graph_summary,
+        )
+
+        g = _doc_graph(spark, sf)
+        r = degree_assortativity(g)
+        return graph_summary(g).select(
+            "n_nodes", "n_edges",
+            F.round("density", 9).alias("density"),
+            "min_out", "max_out",
+            F.round("avg_out", ROUND).alias("avg_out"),
+            "dangling",
+            F.round(F.lit(r).cast("double"), ROUND).alias("assortativity"),
+        )
+
     def q_node_jaccard(spark, sf):
         # neighborhood-Jaccard node similarity (extension; the era's
         # companion library ships algo.similarity.jaccard): same
@@ -1402,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walks64": q_random_walks64,
         "node_jaccard": q_node_jaccard,
         "node_overlap": q_node_overlap,
+        "graph_summary": q_graph_summary,
         "doc_sample_10pct": q_doc_sample_10pct,
         "doc_sample_stratified": q_doc_sample_stratified,
         "louvain": q_louvain,
@@ -1518,6 +1538,23 @@ SELECT id_a, id_b, ROUND(jac, {ROUND}) AS jaccard FROM j WHERE jac >= 0.85""",
             "FROM common JOIN sizes sa ON sa.src = id_a\n"
             "     JOIN sizes sb ON sb.src = id_b\n"
             "WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.15 ORDER BY id_a, id_b"
+        ),
+        "graph_summary": (
+            "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",\n"
+            "nn2 AS (SELECT count(*) AS n FROM documents),\n"
+            "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),\n"
+            "agg AS (SELECT min(d) AS mn, max(d) AS mx, sum(d) AS m, count(*) AS w FROM deg),\n"
+            "sym AS MATERIALIZED (SELECT src, dst FROM e UNION SELECT dst, src FROM e),\n"
+            "sdeg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),\n"
+            "ar AS (SELECT corr(a.d * 1.0, b.d * 1.0) AS r FROM sym s\n"
+            "       JOIN sdeg a ON s.src = a.src JOIN sdeg b ON s.dst = b.src)\n"
+            "SELECT nn2.n AS n_nodes, CAST(agg.m AS BIGINT) AS n_edges,\n"
+            "       ROUND(agg.m * 1.0 / (nn2.n * (nn2.n - 1)), 9) AS density,\n"
+            "       CAST(agg.mn AS BIGINT) AS min_out, CAST(agg.mx AS BIGINT) AS max_out,\n"
+            f"       ROUND(agg.m * 1.0 / agg.w, {ROUND}) AS avg_out,\n"
+            "       CAST(nn2.n - agg.w AS BIGINT) AS dangling,\n"
+            f"       ROUND(ar.r, {ROUND}) AS assortativity\n"
+            "FROM nn2, agg, ar"
         ),
         "node_overlap": (
             "WITH " + _SQL_DOC_EDGES.strip().rstrip(",") + ",\n"

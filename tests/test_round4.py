@@ -1193,3 +1193,31 @@ def test_warm_start_incremental_after_edge_append(spark):
     with pytest.raises(ValueError):
         seeds = spark.createDataFrame([(0,)], "id long")
         pagerank(g2, init_ranks=warm, source_nodes=seeds)
+
+
+def test_graph_stats_profile(spark):
+    """Star graph: strongly disassortative (hub degree n-1 vs leaf 1);
+    summary numbers check against hand counts; regular ring has zero
+    degree variance → assortativity undefined (None)."""
+    from neo4j_graph_algorithms_spark.operators.graph_stats import (
+        degree_assortativity,
+        graph_summary,
+    )
+
+    star = Graph.from_edges(
+        spark.createDataFrame([(0, i) for i in range(1, 9)], "src long, dst long")
+    )
+    r = degree_assortativity(star)
+    assert r is not None and r == pytest.approx(-1.0)
+
+    s = graph_summary(star).collect()[0]
+    assert (s["n_nodes"], s["n_edges"], s["min_out"], s["max_out"],
+            s["dangling"]) == (9, 8, 8, 8, 8)
+    assert s["avg_out"] == pytest.approx(8.0)
+    assert s["density"] == pytest.approx(8 / (9 * 8))
+
+    ring = Graph.from_edges(
+        spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)],
+                              "src long, dst long")
+    )
+    assert degree_assortativity(ring) is None
