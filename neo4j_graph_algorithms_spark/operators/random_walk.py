@@ -11,11 +11,15 @@ Spark-first shape — a walk step is a JOIN, not a loop over walkers:
 - adjacency is indexed ONCE: (src, rn, dst, deg) with rn = 0..deg-1
   per source (a by-src window), cached and hash-partitioned by src;
 - the walker frontier (source, rep, step, node) picks its next
-  neighbor index as ``pmod(xxhash64(node, rep, step, seed), deg)`` —
-  a pure column expression, so the walk is fully DETERMINISTIC given
-  (graph, seed): resumable, replayable, testable, and identical on
-  any cluster size / partitioning (no per-partition RNG state to
-  coordinate, which is the classic distributed-walk pitfall);
+  neighbor index as ``pmod(xxhash64(source, node, rep, step, seed),
+  deg)`` — a pure column expression, so the walk is fully
+  DETERMINISTIC given (graph, seed): resumable, replayable, testable,
+  and identical on any cluster size / partitioning (no per-partition
+  RNG state to coordinate, which is the classic distributed-walk
+  pitfall). The SOURCE is part of the hash: without it, two walkers
+  with the same rep that meet at the same node on the same step would
+  pick the same neighbor and coalesce permanently, making multi-source
+  walks statistically dependent;
 - the step is then an equi-join on (src, rn) — no fan-out: each
   walker expands to exactly the one chosen edge row;
 - walks that reach a dangling node (out-degree 0) simply terminate —
@@ -26,7 +30,8 @@ Spark-first shape — a walk step is a JOIN, not a loop over walkers:
 
 Hash choice is uniform over neighbors up to pmod bias (< 2^-50 for
 degrees < 2^13 on a 64-bit hash — negligible); independence across
-(walker, step) comes from xxhash64 mixing all three coordinates.
+(walker, step) comes from xxhash64 mixing all four coordinates
+(source, node, rep, step).
 """
 
 from __future__ import annotations
@@ -103,7 +108,8 @@ def random_walks(
                 "source", "rep",
                 F.col("node").alias("src"),
                 F.pmod(
-                    F.xxhash64("node", "rep", F.lit(step), F.lit(seed)), F.col("deg")
+                    F.xxhash64("source", "node", "rep", F.lit(step), F.lit(seed)),
+                    F.col("deg"),
                 ).cast("int").alias("rn"),
             )
             frontier = (
@@ -111,7 +117,7 @@ def random_walks(
                 .select("source", "rep", F.col("dst").alias("node"))
                 .localCheckpoint(eager=True)
             )
-            if frontier.rdd.isEmpty():
+            if frontier.isEmpty():
                 break
             steps.append(
                 frontier.select("source", "rep", F.lit(step).alias("step"), "node")

@@ -25,10 +25,20 @@ import json
 import os
 import shutil
 import time
+import warnings
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+try:  # classic py4j-backed sessions only; absent under Spark Connect
+    from py4j.protocol import Py4JError
+except ImportError:  # pragma: no cover
+    class Py4JError(Exception):
+        pass
+
+
+_SEVER_WARNED = False
 
 
 class TerminatedError(RuntimeError):
@@ -121,7 +131,24 @@ def truncate_plan(df: DataFrame) -> DataFrame:
             jdf.queryExecution().toRdd(), jdf.schema(), False
         )
         return DataFrame(new_jdf, ck.sparkSession)
-    except Exception:
+    except (AttributeError, TypeError, Py4JError):
+        # non-classic session (Spark Connect: no _jdf) or Scala API
+        # drift. The plain-checkpoint fallback REINSTATES the
+        # exponential stats-visitor walk documented above — any
+        # BFS-family kernel will hang at diameter ≳22 — so a silent
+        # environment change must not pass unnoticed.
+        global _SEVER_WARNED
+        if not _SEVER_WARNED:
+            _SEVER_WARNED = True
+            warnings.warn(
+                "truncate_plan: internalCreateDataFrame unavailable "
+                "(Spark Connect or API drift) — falling back to plain "
+                "localCheckpoint. Iterative kernels on graphs of "
+                "diameter ≳22 may hang in driver-side stats estimation "
+                "(see plans/checkpointing.truncate_plan).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return ck
 
 
