@@ -113,13 +113,32 @@ def _estimate_expr(col: str, m: int):
     return F.when((raw <= 2.5 * m) & (zeros > 0), small).otherwise(raw)
 
 
+#: per-group sketch-buffer budget for the collect_list merge: with m
+#: registers (1 byte each) a group of TARGET sketches buffers
+#: ~TARGET·m bytes in one aggregation group — 8 MB keeps even the
+#: largest group comfortably inside an executor task.
+_SALT_GROUP_BYTES = 8 << 20
+_SALT_MAX = 64
+
+
+def _auto_salt_buckets(max_in_degree: int, m: int) -> int:
+    """Salt count that bounds the per-group collect_list buffer to
+    ~_SALT_GROUP_BYTES for the worst (max-in-degree) hub — mirrors
+    `msbfs._auto_wave_size`'s derive-from-cached-stats discipline.
+    1 (plan unchanged) whenever every group already fits."""
+    target = max(4096, _SALT_GROUP_BYTES // max(m, 1))
+    if max_in_degree <= target:
+        return 1
+    return min(_SALT_MAX, -(-max_in_degree // target))
+
+
 def neighborhood_function(
     graph: Graph,
     max_depth: int = 16,
     p: int = 10,
     direction: str = "out",
     tolerance: float = 0.0,
-    salt_buckets: int = 1,
+    salt_buckets: int | str = "auto",
     termination=None,
 ) -> tuple[DataFrame, dict]:
     """HyperANF: approximate N(t) for t = 1..max_depth.
@@ -139,7 +158,12 @@ def neighborhood_function(
     ``salt_buckets`` > 1 splits the merge into partial (id, salt)
     merges before the final per-id merge — bounding the collect_list
     group size for power-law in-degree hubs, exactly like PageRank's
-    salted two-phase message sum.
+    salted two-phase message sum. The default ``"auto"`` derives the
+    bucket count from the graph's max pull-side in-degree and the
+    sketch width (`_auto_salt_buckets`), so the single-phase plan is
+    kept whenever every group fits the buffer budget and a hub graph
+    gets the two-phase merge without caller tuning; the chosen count
+    is surfaced in stats.
     """
     spark = graph.edges.sparkSession
     t0 = time.time()
@@ -152,6 +176,16 @@ def neighborhood_function(
     n_parts = spark.sparkContext.defaultParallelism
     edges = edges.repartition(n_parts, "dst").persist()
     edges.count()
+
+    if salt_buckets == "auto":
+        # the merge groups on the PULL side's src — group size = that
+        # node's out-count in the oriented frame; one cheap agg over
+        # the just-cached edges
+        max_in = edges.groupBy("src").agg(F.count("*").alias("d")).agg(
+            F.max("d")
+        ).collect()[0][0] or 0
+        salt_buckets = _auto_salt_buckets(int(max_in), m)
+    salt_buckets = int(salt_buckets)
 
     n_nodes = graph.node_count()
     sketches = graph.nodes.select(
@@ -245,6 +279,7 @@ def neighborhood_function(
     stats = {
         "nodes": n_nodes,
         "registers": m,
+        "salt_buckets": salt_buckets,
         "depths_run": len(history),
         "didConverge": converged,
         "effective_diameter_90": eff_d,

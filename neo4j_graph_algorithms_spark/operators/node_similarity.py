@@ -17,6 +17,10 @@ ngram_jaccard_pairs` is the same algebra over text):
   stop-shingle cap transplanted; sizes and intersections then
   consistently exclude the dropped hubs (the capped measure is the
   Jaccard of the hub-filtered neighborhoods, stated in the result);
+- the DEFAULT is ``"auto"``: the ``AUTO_CAP_FLOOR`` cap engages only
+  when the graph actually has a hub past it (ordinary graphs keep
+  the exact answer and the exact plan), and the dropped-hub counts
+  are surfaced in the stats dict so a capped run is never silent;
 - output is (id_a, id_b, similarity) with id_a < id_b, thresholded;
   `top_k` keeps the k best partners per node via a per-node window.
 """
@@ -40,20 +44,42 @@ _METRICS = {
     "cosine": lambda c, a, b: c / F.sqrt(a * b),
 }
 
+#: the graded auto cap. The shared-neighbor self-join co-locates every
+#: row of one dst key in one task and emits d²/2 pairs from it, so the
+#: cap is a PER-TASK output bound, not a quantile: d = 1000 → ~500k
+#: pair rows from the worst key — one healthy task. A quantile-derived
+#: cap (e.g. p99.9 of in-degrees) is exactly wrong here: it exempts
+#: the extreme tail, which is the only part that hurts. Below the cap,
+#: capping would trade exactness for nothing, so `auto` engages the
+#: filter ONLY when some shared neighbor actually exceeds it.
+AUTO_CAP_FLOOR = 1000
+
 
 def node_similarity(
     graph: Graph,
     threshold: float = 0.1,
     direction: str = "out",
-    max_common_degree: int | None = None,
+    max_common_degree: int | str | None = "auto",
     top_k: int | None = None,
     metric: str = "jaccard",
-) -> DataFrame:
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, dict]:
     """Similar node pairs: (id_a, id_b, similarity), a < b,
     similarity ≥ threshold over `direction` neighborhoods.
     ``metric``: jaccard | overlap | cosine (see _METRICS) — all three
     share the intersection/size frames; only the final expression
-    differs."""
+    differs.
+
+    ``max_common_degree``: "auto" (default — drop shared-neighbor
+    hubs past AUTO_CAP_FLOOR, engaging ONLY when the graph actually
+    has such a hub, so hub-free graphs keep the exact answer and the
+    exact uncapped plan), an int (explicit cap), or None (never cap —
+    the quadratic-risk escape hatch, caller's responsibility at
+    scale).
+
+    ``return_stats=True`` returns (df, stats) with the engaged cap and
+    dropped-hub/edge counts, so a capped (approximate) run is visible.
+    """
     if metric not in _METRICS:
         raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}")
     if direction == "out":
@@ -64,10 +90,33 @@ def node_similarity(
         adj = undirect(graph.edges).select("src", "dst")
     adj = adj.distinct()
 
-    if max_common_degree is not None:
-        in_deg = adj.groupBy("dst").agg(F.count("*").alias("_in"))
+    stats: dict = {"cap": None, "dropped_hubs": 0, "dropped_edges": 0}
+    cap: int | None
+    if max_common_degree == "auto":
+        in_deg = adj.groupBy("dst").agg(F.count("*").alias("_in")).persist()
+        max_in = int(in_deg.agg(F.max("_in")).collect()[0][0] or 0)
+        # engage only when a hub actually exceeds the cap — otherwise
+        # drop the filter join entirely (identical plan to uncapped)
+        cap = AUTO_CAP_FLOOR if max_in > AUTO_CAP_FLOOR else None
+        if cap is None:
+            in_deg.unpersist()
+            in_deg = None
+    elif max_common_degree is None:
+        cap, in_deg = None, None
+    else:
+        cap = int(max_common_degree)
+        in_deg = adj.groupBy("dst").agg(F.count("*").alias("_in")).persist()
+    if cap is not None:
+        dropped = in_deg.filter(F.col("_in") > cap).agg(
+            F.count("*").alias("h"), F.sum("_in").alias("e")
+        ).collect()[0]
+        stats.update(
+            cap=cap,
+            dropped_hubs=int(dropped.h or 0),
+            dropped_edges=int(dropped.e or 0),
+        )
         adj = (
-            adj.join(in_deg.filter(F.col("_in") <= max_common_degree), "dst")
+            adj.join(in_deg.filter(F.col("_in") <= cap), "dst")
             .select("src", "dst")
         )
     adj = adj.persist()
@@ -112,4 +161,8 @@ def node_similarity(
         out = out.join(kept, ["id_a", "id_b"], "left_semi")
     out = out.localCheckpoint(eager=True)
     adj.unpersist()
+    if in_deg is not None:
+        in_deg.unpersist()
+    if return_stats:
+        return out, stats
     return out
