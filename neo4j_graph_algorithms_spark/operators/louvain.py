@@ -153,6 +153,66 @@ def louvain(
     return comm, stats
 
 
+def contract_graph(edges: DataFrame, comm: DataFrame) -> DataFrame:
+    """Contract a level's EFFECTIVE graph onto its communities.
+
+    `louvain` scores moves on ``undirect(edges, dedup=True)`` (max
+    weight per direction for parallel/reciprocal duplicates) plus
+    self-loops at A_ii = 2w — so the contraction must aggregate that
+    same effective graph, NOT the raw directed rows: summing raw
+    reciprocal edges (a→b w1, b→a w2) would carry w1+w2 where the
+    level optimized max(w1, w2), and later levels would maximize a
+    different objective (the r4 ADVICE finding).
+
+    Construction: the deduped symmetric frame holds every unordered
+    pair TWICE (once per orientation), so grouping by the canonical
+    community pair and halving the sum yields exactly the per-pair
+    effective mass — for inter-community rows this is the contracted
+    edge weight, for intra-community rows the super-node self-loop;
+    members' own self-loops (mass 2w in the level's m2) add their raw
+    weight to the community self-loop. Under this contraction
+    m2(contracted) == m2(level) and modularity of any refinement-
+    consistent partition is preserved.
+
+    Returns canonical (src ≤ dst) contracted edge rows.
+    """
+    cs = comm.select(F.col("id").alias("src"), F.col("community").alias("_cs"))
+    cd = comm.select(F.col("id").alias("dst"), F.col("community").alias("_cd"))
+    und = undirect(edges, dedup=True)
+    pairs = (
+        und.join(cs, "src").join(cd, "dst")
+        .groupBy(
+            F.least("_cs", "_cd").alias("src"),
+            F.greatest("_cs", "_cd").alias("dst"),
+        )
+        .agg((F.sum("weight") / F.lit(2.0)).alias("weight"))
+    )
+    selfs = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .join(cs, "src")
+        .groupBy(F.col("_cs").alias("src"))
+        .agg(F.sum("weight").alias("weight"))
+        .select("src", F.col("src").alias("dst"), "weight")
+    )
+    return (
+        pairs.unionByName(selfs)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def level_m2(edges: DataFrame) -> float:
+    """The 2m mass `louvain` normalizes by for a given edge frame —
+    exposed so tests can assert contraction preserves it."""
+    und = undirect(edges, dedup=True)
+    sym_mass = und.agg(F.sum("weight")).collect()[0][0] or 0.0
+    self_mass = (
+        edges.filter(F.col("src") == F.col("dst")).agg(F.sum("weight")).collect()[0][0]
+        or 0.0
+    )
+    return float(sym_mass + 2.0 * self_mass)
+
+
 def louvain_multilevel(
     graph: Graph,
     levels: int = 5,
@@ -167,11 +227,12 @@ def louvain_multilevel(
     this is the extension a community-detection user needs first at
     100 TB, where one local-move level leaves millions of micro-
     communities. Standard coarsening: the contracted graph has one node
-    per community, inter-community edges summed, intra-community mass
-    kept as SELF-LOOPS (counted into k/m2 by `louvain`, never vote
-    edges), so modularity on the contracted graph equals modularity of
-    the expanded partition and later levels make globally consistent
-    moves.
+    per community, the level's EFFECTIVE (max-deduped symmetric) mass
+    aggregated per community pair, intra-community mass kept as
+    SELF-LOOPS (counted into k/m2 by `louvain`, never vote edges) —
+    see `contract_graph` — so m2 is invariant across levels, modularity
+    on the contracted graph equals modularity of the expanded
+    partition, and later levels make globally consistent moves.
 
     Returns (assignments(id, community) at ORIGINAL ids — community =
     final super-node label, a level-0 node id) and stats with per-level
@@ -199,21 +260,12 @@ def louvain_multilevel(
         ).select("id", F.col("_nc").alias("community")).localCheckpoint(eager=True)
         if lvl == levels - 1:
             break
-        # contract: communities become nodes; ALL parallel/reciprocal
-        # edges between two communities sum into one canonical
-        # (low, high) row — `undirect(dedup)` takes max per direction,
-        # so leaving both directions here would drop weight — and
-        # intra-community edges become self-loops carrying their weight
-        cs = comm.select(F.col("id").alias("src"), F.col("community").alias("_cs"))
-        cd = comm.select(F.col("id").alias("dst"), F.col("community").alias("_cd"))
-        contracted = (
-            cur.edges.join(cs, "src").join(cd, "dst")
-            .groupBy(
-                F.least("_cs", "_cd").alias("src"),
-                F.greatest("_cs", "_cd").alias("dst"),
-            )
-            .agg(F.sum("weight").alias("weight"))
-        )
+        # contract the level's EFFECTIVE graph (see contract_graph):
+        # communities become nodes, per-pair max-deduped mass becomes
+        # the contracted weights, intra mass + member self-loops become
+        # super-node self-loops — m2 and all edge masses carry over
+        # unchanged, so every level optimizes the SAME objective
+        contracted = contract_graph(cur.edges, comm)
         nodes = comm.select(F.col("community").alias("id")).distinct()
         cur = Graph(
             nodes=nodes.localCheckpoint(eager=True),

@@ -151,6 +151,63 @@ def test_neighborhood_auto_salt_matches_forced_salt(spark):
     assert sorted(a.collect()) == sorted(b.collect())
 
 
+# ------------------------------------------- multilevel contraction
+
+
+def _clique(ids, w=1.0):
+    return [(a, b, w) for a in ids for b in ids if a < b]
+
+
+def test_contract_graph_preserves_m2_on_reciprocal_edges(spark):
+    """ADVICE r4: contraction must aggregate the EFFECTIVE graph the
+    level optimized (max-deduped symmetric mass + self-loops), so m2 is
+    invariant level-over-level even with reciprocal duplicate edges —
+    summing raw directed rows would carry w1+w2 where the level scored
+    max(w1, w2)."""
+    from neo4j_graph_algorithms_spark.operators.louvain import (
+        contract_graph,
+        level_m2,
+    )
+
+    rows = _clique([0, 1, 2]) + _clique([3, 4, 5]) + [(2, 3, 0.5)]
+    # reciprocal duplicates with asymmetric weights inside community 0
+    rows += [(1, 0, 4.0), (2, 1, 2.0)]
+    # and a pre-existing self-loop
+    rows += [(4, 4, 1.5)]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    comm = spark.createDataFrame(
+        [(i, 0 if i < 3 else 3) for i in range(6)], "id long, community long"
+    )
+    contracted = contract_graph(edges, comm)
+    assert abs(level_m2(edges) - level_m2(contracted)) < 1e-9
+    got = {(r.src, r.dst): r.weight for r in contracted.collect()}
+    # effective intra mass of {0,1,2}: max(1,4)+max(1,2)+1 = 7 → self 7
+    assert abs(got[(0, 0)] - 7.0) < 1e-9
+    # {3,4,5}: 3 unit edges + member self-loop 1.5 → 4.5
+    assert abs(got[(3, 3)] - 4.5) < 1e-9
+    assert abs(got[(0, 3)] - 0.5) < 1e-9
+
+
+def test_louvain_multilevel_collapses_cliques_reciprocal(spark):
+    """The clique-collapse semantics hold when clique edges appear in
+    BOTH directions with unequal weights (the case the old raw-sum
+    contraction mis-weighted)."""
+    from neo4j_graph_algorithms_spark.operators.louvain import louvain_multilevel
+
+    rows = _clique([0, 1, 2, 3]) + _clique([4, 5, 6, 7]) + [(3, 4, 1.0)]
+    # reciprocal duplicates: every clique edge also reversed at weight 3
+    rows += [(b, a, 3.0) for a, b, _ in _clique([0, 1, 2, 3])]
+    rows += [(b, a, 3.0) for a, b, _ in _clique([4, 5, 6, 7])]
+    g = _graph(spark, rows, weighted=True)
+    assign, stats = louvain_multilevel(g, levels=4)
+    got = {r["id"]: r["community"] for r in assign.collect()}
+    assert len({got[i] for i in range(8)}) == 2
+    assert {got[0], got[1], got[2], got[3]} == {got[0]}
+    assert {got[4], got[5], got[6], got[7]} == {got[4]}
+    assert got[0] != got[4]
+    assert stats["communityCountPerLevel"][-1] == 2
+
+
 # -------------------------------------------- k-core structural prune
 
 
