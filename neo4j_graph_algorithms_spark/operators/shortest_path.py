@@ -134,25 +134,47 @@ def shortest_paths(
 def delta_stepping(
     graph: Graph,
     source: int,
-    delta: float,
+    delta: float | None = None,
     direction: str = "out",
     termination=None,
 ) -> tuple[DataFrame, dict]:
-    """Bucketed SSSP (ref `impl/ShortestPathDeltaStepping.java:22-45`).
+    """Bucketed SSSP (ref `impl/ShortestPathDeltaStepping.java:22-45` —
+    the reference takes Δ as a caller-supplied procedure argument).
 
     Processes distance bands [b·Δ, (b+1)·Δ): light edges (w ≤ Δ) are
     relaxed to a fixpoint inside the band, heavy edges once when the
     band closes. Each inner round's frontier is only the band — on a
     power-law graph this is the reference's work-efficiency trick,
     rebuilt with the identical join/agg shape as `shortest_paths`.
+
+    ``delta=None`` derives Δ from the weight distribution (one agg over
+    the cached edge frame): ``max(w̄·d̄, w_max/128)``. w̄·d̄ (mean weight
+    × mean out-degree) is the Meyer–Sanders Θ(1/d_max) sweet spot
+    rescaled to weighted degree — about one out-neighborhood of
+    relaxations per settled band; the ``w_max/128`` floor bounds the
+    band COUNT on wide-range weight distributions (bands ≈
+    path_hops·w_max/Δ ≤ 128·path_hops), where a mean-anchored Δ
+    degenerates into thousands of near-empty sequential bands. Δ only
+    affects scheduling, never the fixpoint — answers are identical for
+    any Δ > 0 (differential-tested).
     """
-    if delta <= 0:
+    if delta is not None and delta <= 0:
         raise ValueError(f"delta must be > 0, got {delta}")
     spark = graph.edges.sparkSession
     t0 = time.time()
     edges = _prep_edges(graph, direction)
     n_parts = spark.sparkContext.defaultParallelism
     edges = edges.repartition(n_parts, "src").persist()
+    if delta is None:
+        w = edges.agg(
+            F.avg("weight").alias("mean_w"),
+            F.max("weight").alias("max_w"),
+            (F.count("*") / F.count_distinct("src")).alias("avg_deg"),
+        ).collect()[0]
+        delta = max(
+            float(w.mean_w or 1.0) * float(w.avg_deg or 1.0),
+            float(w.max_w or 1.0) / 128.0,
+        )
     light = edges.filter(F.col("weight") <= delta).persist()
     heavy = edges.filter(F.col("weight") > delta).persist()
     light.count()
@@ -163,6 +185,7 @@ def delta_stepping(
         F.when(F.col("id") == source, 0.0).otherwise(F.lit(INF)).alias("distance"),
     )
     rounds = 0
+    buckets_processed = 0
 
     def relax(dist: DataFrame, frontier: DataFrame, edge_set: DataFrame, hi: float) -> DataFrame:
         """One relaxation sweep; `_band` marks rows IMPROVED into the
@@ -194,6 +217,7 @@ def delta_stepping(
         # from an actual minimum, so empty-bucket probing never happens
         while True:
             check_termination(spark, termination, bucket)
+            buckets_processed += 1
             lo, hi = bucket * delta, (bucket + 1) * delta
             # band needs no checkpoint of its own: it is a filter over
             # the already-severed `dist` (and, inside the loop, over the
@@ -227,7 +251,12 @@ def delta_stepping(
             bucket = int(nxt // delta)
     for df in (edges, light, heavy):
         df.unpersist()
-    stats = {"relaxRounds": rounds, "computeMillis": int((time.time() - t0) * 1000)}
+    stats = {
+        "relaxRounds": rounds,
+        "buckets": buckets_processed,
+        "delta": delta,
+        "computeMillis": int((time.time() - t0) * 1000),
+    }
     return dist.select(F.col("id").cast("long").alias("id"), "distance"), stats
 
 

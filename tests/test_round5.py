@@ -151,6 +151,48 @@ def test_neighborhood_auto_salt_matches_forced_salt(spark):
     assert sorted(a.collect()) == sorted(b.collect())
 
 
+# ------------------------------------------------------ adaptive delta
+
+
+def test_delta_stepping_auto_delta_matches_fixed(spark):
+    """Δ only affects scheduling, never the fixpoint: auto-derived Δ
+    answers identical to explicit Δ on a weighted fixture."""
+    from neo4j_graph_algorithms_spark.operators.shortest_path import delta_stepping
+
+    rows = [
+        (i, j, float((i * 7 + j * 3) % 9 + 1))
+        for i in range(16)
+        for j in ((i + 1) % 16, (i + 5) % 16)
+    ]
+    g = _graph(spark, rows, weighted=True)
+    auto, st = delta_stepping(g, source=0)
+    fixed, _ = delta_stepping(g, source=0, delta=2.0)
+    assert st["delta"] > 0 and st["buckets"] >= 1
+    a = {r.id: r.distance for r in auto.collect()}
+    b = {r.id: r.distance for r in fixed.collect()}
+    assert a == b
+
+
+def test_delta_stepping_auto_bounds_bands_on_wide_weights(spark):
+    """Wide-range weights (mean 1, max 8192): a mean-anchored Δ
+    processes hundreds of near-empty bands; the auto Δ's w_max/128
+    floor must cut the bucket count while keeping identical answers."""
+    from neo4j_graph_algorithms_spark.operators.shortest_path import delta_stepping
+
+    # a path of unit edges, plus one heavy shortcut forcing a huge
+    # distance range
+    rows = [(i, i + 1, 1.0) for i in range(20)]
+    rows += [(0, 100, 8192.0), (100, 101, 1.0)]
+    g = _graph(spark, rows, weighted=True)
+    naive, st_naive = delta_stepping(g, source=0, delta=1.0)
+    auto, st_auto = delta_stepping(g, source=0)
+    assert st_auto["delta"] >= 8192.0 / 128.0
+    assert st_auto["buckets"] < st_naive["buckets"] / 4
+    a = {r.id: r.distance for r in auto.collect()}
+    b = {r.id: r.distance for r in naive.collect()}
+    assert a == b
+
+
 # ------------------------------------------- multilevel contraction
 
 
