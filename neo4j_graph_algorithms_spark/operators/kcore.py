@@ -47,13 +47,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..graph import Graph, undirect
-from ..plans.checkpointing import adaptive_disabled, check_termination
+from ..plans.checkpointing import (
+    IterationCache,
+    adaptive_disabled,
+    check_termination,
+)
 
 
 def core_decomposition(
     graph: Graph,
     max_iterations: int = 200,
     track_affected: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
     termination=None,
 ) -> tuple[DataFrame, dict]:
     """Core number per node: (id, core). Undirected semantics — edges
@@ -63,7 +70,14 @@ def core_decomposition(
     ``track_affected=True`` adds one count job per round recording the
     size of the affected-neighborhood frame in stats history — the
     observable for "late rounds do frontier-sized work" (tests); off by
-    default (it is a pure debug probe)."""
+    default (it is a pure debug probe).
+
+    ``checkpoint_dir`` + ``resume=True``: durable superstep snapshots
+    (state (node, core, _chg) + per-partition lineage in meta.json, the
+    `IterationCache` contract every resumable kernel here shares); a
+    killed 200-round h-index run restarts from its last snapshot — the
+    `_chg` column restores the EXACT change frontier, so the resumed
+    sequence is the uninterrupted synchronous sequence, bit for bit."""
     spark = graph.edges.sparkSession
     t0 = time.time()
     id_t = graph.id_type()
@@ -85,21 +99,45 @@ def core_decomposition(
     sym.count()
     sym_by_node.count()
 
-    deg = sym.groupBy("node").agg(F.count("*").alias("core"))
-    cur = (
-        graph.nodes.select(F.col("id").cast(id_t).alias("node"))
-        .join(deg, "node", "left")
-        .select("node", F.coalesce("core", F.lit(0)).cast("long").alias("core"))
-        .localCheckpoint(eager=True)
+    cache = IterationCache(
+        spark, checkpoint_dir, checkpoint_every,
+        collect_partition_metrics=checkpoint_dir is not None,
     )
-    changed = cur  # every node "changed" at t=0
-    rounds = 0
+    start_it = 1
+    cur = None
+    changed = None
+    if resume and checkpoint_dir:
+        latest = cache.latest()
+        if latest is not None:
+            step, state, _meta = latest
+            cur = state.select(
+                F.col("node").cast(id_t).alias("node"),
+                F.col("core").cast("long").alias("core"),
+            ).localCheckpoint(eager=True)
+            # the snapshot's _chg column IS that round's change
+            # frontier — resuming from it continues the exact
+            # synchronous sequence
+            changed = state.filter(F.col("_chg")).select(
+                F.col("node").cast(id_t).alias("node"),
+                F.col("core").cast("long").alias("core"),
+            ).localCheckpoint(eager=True)
+            start_it = step + 1
+    if cur is None:
+        deg = sym.groupBy("node").agg(F.count("*").alias("core"))
+        cur = (
+            graph.nodes.select(F.col("id").cast(id_t).alias("node"))
+            .join(deg, "node", "left")
+            .select("node", F.coalesce("core", F.lit(0)).cast("long").alias("core"))
+            .localCheckpoint(eager=True)
+        )
+        changed = cur  # every node "changed" at t=0
+    rounds = start_it - 1
     converged = False
     history: list[dict] = []
 
     w = Window.partitionBy("node").orderBy(F.desc("val"))
     with adaptive_disabled(spark):
-        for it in range(1, max_iterations + 1):
+        for it in range(start_it, max_iterations + 1):
             check_termination(spark, termination, it)
             t_it = time.time()
             cur_vals = cur.select(
@@ -137,15 +175,15 @@ def core_decomposition(
                 .groupBy("node")
                 .agg(F.max(F.least(F.col("val"), F.col("rn"))).alias("h"))
             )
-            nxt = (
-                cur.join(h, "node", "left")
-                .select(
-                    "node",
-                    F.coalesce("h", "core").cast("long").alias("core"),
-                    (F.coalesce("h", "core") != F.col("core")).alias("_chg"),
-                )
-                .localCheckpoint(eager=True)
+            nxt = cur.join(h, "node", "left").select(
+                "node",
+                F.coalesce("h", "core").cast("long").alias("core"),
+                (F.coalesce("h", "core") != F.col("core")).alias("_chg"),
             )
+            # IterationCache: origin-severed truncation every round,
+            # durable parquet snapshot (with per-partition lineage) on
+            # the checkpoint cadence
+            nxt = cache.step(nxt, it, value_col="core")
             changed = nxt.filter("_chg").select("node", "core")
             n_changed = changed.count()
             cur = nxt.select("node", "core")
@@ -171,6 +209,7 @@ def core_decomposition(
     }
     sym.unpersist()
     sym_by_node.unpersist()
+    cache.close()
     return result, stats
 
 

@@ -44,7 +44,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import Graph, undirect
-from ..plans.checkpointing import adaptive_disabled, check_termination
+from ..plans.checkpointing import (
+    IterationCache,
+    adaptive_disabled,
+    check_termination,
+)
 
 
 def _edges_pull(graph: Graph, direction: str) -> DataFrame:
@@ -139,6 +143,9 @@ def neighborhood_function(
     direction: str = "out",
     tolerance: float = 0.0,
     salt_buckets: int | str = "auto",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
     termination=None,
 ) -> tuple[DataFrame, dict]:
     """HyperANF: approximate N(t) for t = 1..max_depth.
@@ -164,6 +171,15 @@ def neighborhood_function(
     kept whenever every group fits the buffer budget and a hub graph
     gets the two-phase merge without caller tuning; the chosen count
     is surfaced in stats.
+
+    ``checkpoint_dir`` + ``resume=True``: durable depth snapshots
+    (state (id, sketch, _changed) + the running N(t) history in
+    meta.json); sketches are monotone and the `_changed` column
+    restores the exact systolic frontier, so a killed deep run resumed
+    from its last snapshot continues the exact sketch sequence (the
+    `IterationCache` contract shared with pagerank/wcc). The per-depth
+    N(t) float SUMS may differ from an uninterrupted run in the last
+    ulp — the parquet re-read changes the summation order.
     """
     spark = graph.edges.sparkSession
     t0 = time.time()
@@ -188,21 +204,38 @@ def neighborhood_function(
     salt_buckets = int(salt_buckets)
 
     n_nodes = graph.node_count()
-    sketches = graph.nodes.select(
-        F.col("id").cast(id_t).alias("id"), _seed_sketch(F.col("id"), p).alias("sketch")
-    ).localCheckpoint(eager=True)
-    frontier = sketches  # every sketch "changed" at t=0
-
-    est_self = (
-        sketches.select(_estimate_expr("sketch", m).alias("e"))
-        .agg(F.sum("e")).collect()[0][0]
+    cache = IterationCache(
+        spark, checkpoint_dir, checkpoint_every,
+        collect_partition_metrics=checkpoint_dir is not None,
     )
+    start_depth = 1
+    sketches = None
     history: list[dict] = []
-    prev_n = float(est_self or 0.0)
+    prev_n = 0.0
+    if resume and checkpoint_dir:
+        latest = cache.latest()
+        if latest is not None:
+            step, state, meta = latest
+            state = state.localCheckpoint(eager=True)
+            sketches = state.select("id", "sketch")
+            frontier = state.filter(F.col("_changed")).select("id", "sketch")
+            history = list(meta.get("history", []))
+            prev_n = float(meta.get("prev_n", 0.0))
+            start_depth = step + 1
+    if sketches is None:
+        sketches = graph.nodes.select(
+            F.col("id").cast(id_t).alias("id"), _seed_sketch(F.col("id"), p).alias("sketch")
+        ).localCheckpoint(eager=True)
+        frontier = sketches  # every sketch "changed" at t=0
+        est_self = (
+            sketches.select(_estimate_expr("sketch", m).alias("e"))
+            .agg(F.sum("e")).collect()[0][0]
+        )
+        prev_n = float(est_self or 0.0)
     converged = False
 
     with adaptive_disabled(spark):
-        for depth in range(1, max_depth + 1):
+        for depth in range(start_depth, max_depth + 1):
             check_termination(spark, termination, depth)
             t_it = time.time()
             msgs = edges.join(
@@ -254,6 +287,14 @@ def neighborhood_function(
                 "secs": round(time.time() - t_it, 2),
             })
             prev_n = n_est
+            # durable snapshot at END of round, so meta carries this
+            # depth's history entry and running prev_n (the resume
+            # anchor); per-round truncation already happened via the
+            # eager localCheckpoint above
+            if checkpoint_dir and depth % checkpoint_every == 0:
+                cache.step(
+                    nxt, depth, metrics={"history": history, "prev_n": prev_n}
+                )
             if changed == 0 or (tolerance > 0 and growth < tolerance):
                 converged = changed == 0
                 break
@@ -287,6 +328,7 @@ def neighborhood_function(
         "computeMillis": int((time.time() - t0) * 1000),
     }
     edges.unpersist()
+    cache.close()
     return out, stats
 
 

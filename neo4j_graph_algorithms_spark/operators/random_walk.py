@@ -43,7 +43,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..graph import Graph
-from ..plans.checkpointing import adaptive_disabled, check_termination
+from ..plans.checkpointing import (
+    IterationCache,
+    adaptive_disabled,
+    check_termination,
+)
 
 
 def random_walks(
@@ -52,6 +56,9 @@ def random_walks(
     walks_per_node: int = 1,
     sources: DataFrame | None = None,
     seed: int = 42,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    resume: bool = False,
     termination=None,
 ) -> tuple[DataFrame, dict]:
     """Run uniform random walks; returns (df, stats).
@@ -60,6 +67,13 @@ def random_walks(
     row exists for step t only while the walker has not hit a dangling
     node. ``sources`` (id) defaults to all nodes; ``walks_per_node``
     replicates each source into reps 0..r-1 with independent choices.
+
+    ``checkpoint_dir`` + ``resume=True``: the accumulated walk prefix
+    is snapshot durably every ``checkpoint_every`` steps; a resumed run
+    restores the frontier from the prefix's last step and — because the
+    next-hop choice is a pure hash of (source, node, rep, step, seed) —
+    continues the IDENTICAL walks (caller must pass the same graph/
+    seed/walk args, as with every resumable kernel here).
     """
     spark = graph.edges.sparkSession
     t0 = time.time()
@@ -88,21 +102,38 @@ def random_walks(
     )
     adj.count()
 
-    src_nodes = (sources or graph.nodes.select("id")).select(
-        F.col("id").cast(id_t).alias("source")
+    cache = IterationCache(
+        spark, checkpoint_dir, checkpoint_every,
+        collect_partition_metrics=checkpoint_dir is not None,
     )
-    reps = spark.range(walks_per_node).select(F.col("id").cast("int").alias("rep"))
-    frontier = (
-        src_nodes.crossJoin(F.broadcast(reps))
-        .select("source", "rep", F.col("source").alias("node"))
-        .localCheckpoint(eager=True)
-    )
-    steps: list[DataFrame] = [
-        frontier.select("source", "rep", F.lit(0).alias("step"), "node")
-    ]
+    start_step = 1
+    steps: list[DataFrame] | None = None
+    if resume and checkpoint_dir:
+        latest = cache.latest()
+        if latest is not None:
+            ck_step, acc, _meta = latest
+            acc = acc.localCheckpoint(eager=True)
+            frontier = acc.filter(F.col("step") == ck_step).select(
+                F.col("source").cast(id_t).alias("source"),
+                "rep",
+                F.col("node").cast(id_t).alias("node"),
+            ).localCheckpoint(eager=True)
+            steps = [acc]
+            start_step = ck_step + 1
+    if steps is None:
+        src_nodes = (sources or graph.nodes.select("id")).select(
+            F.col("id").cast(id_t).alias("source")
+        )
+        reps = spark.range(walks_per_node).select(F.col("id").cast("int").alias("rep"))
+        frontier = (
+            src_nodes.crossJoin(F.broadcast(reps))
+            .select("source", "rep", F.col("source").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        steps = [frontier.select("source", "rep", F.lit(0).alias("step"), "node")]
 
     with adaptive_disabled(spark):
-        for step in range(1, walk_length + 1):
+        for step in range(start_step, walk_length + 1):
             check_termination(spark, termination, step)
             picked = frontier.join(deg, "node").select(
                 "source", "rep",
@@ -122,6 +153,14 @@ def random_walks(
             steps.append(
                 frontier.select("source", "rep", F.lit(step).alias("step"), "node")
             )
+            if checkpoint_dir and step % checkpoint_every == 0:
+                # durable snapshot of the accumulated prefix (the lazy
+                # per-step frames union-fold exactly once per cadence —
+                # the standing BFS-family accumulation discipline)
+                acc = steps[0]
+                for s in steps[1:]:
+                    acc = acc.unionByName(s)
+                steps = [cache.step(acc, step)]
 
     out = steps[0]
     for s in steps[1:]:
@@ -134,10 +173,11 @@ def random_walks(
         "nodes": graph.node_count(),
         "walk_length": walk_length,
         "walks_per_node": walks_per_node,
-        "steps_run": len(steps) - 1,
+        "steps_run": int(out.agg(F.max("step")).collect()[0][0] or 0),
         "seed": seed,
         "computeMillis": int((time.time() - t0) * 1000),
     }
     adj.unpersist()
     deg.unpersist()
+    cache.close()
     return out, stats

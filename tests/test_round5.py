@@ -151,6 +151,90 @@ def test_neighborhood_auto_salt_matches_forced_salt(spark):
     assert sorted(a.collect()) == sorted(b.collect())
 
 
+# --------------------------------------------- checkpoint-resume (r4 kernels)
+
+
+def test_kcore_resume_matches_uninterrupted(spark, tmp_path):
+    """Kill a deep h-index run mid-way; the resumed run must produce
+    the uninterrupted core numbers (the snapshot's _chg column restores
+    the exact change frontier)."""
+    from neo4j_graph_algorithms_spark.operators.kcore import core_decomposition
+
+    n = 20
+    rows = [(i, i + 1) for i in range(n - 1)]
+    clique = [100, 101, 102, 0]
+    rows += [(a, b) for a in clique for b in clique if a < b]
+    g = _graph(spark, rows)
+
+    full, full_stats = core_decomposition(g)
+    expected = {r.id: r.core for r in full.collect()}
+    assert full_stats["rounds"] >= 6  # deep enough to interrupt
+
+    ck = str(tmp_path / "kcore_ck")
+    core_decomposition(g, max_iterations=4, checkpoint_dir=ck, checkpoint_every=4)
+    resumed, stats = core_decomposition(
+        g, checkpoint_dir=ck, checkpoint_every=4, resume=True
+    )
+    assert stats["history"][0]["round"] == 5  # really resumed
+    got = {r.id: r.core for r in resumed.collect()}
+    assert got == expected
+
+
+def test_neighborhood_resume_matches_uninterrupted(spark, tmp_path):
+    """HyperANF resumed from a mid-depth snapshot: identical N(t) series
+    (sketches are deterministic, _changed restores the frontier, and the
+    running history rides in meta.json)."""
+    from neo4j_graph_algorithms_spark.operators.neighborhood import (
+        neighborhood_function,
+    )
+
+    rows = [(i, i + 1) for i in range(15)] + [(i, (i + 4) % 15) for i in range(15)]
+    g = _graph(spark, rows)
+    full, _ = neighborhood_function(g, max_depth=6, p=6)
+    expected = sorted(full.collect())
+
+    ck = str(tmp_path / "anf_ck")
+    neighborhood_function(g, max_depth=3, p=6, checkpoint_dir=ck, checkpoint_every=3)
+    resumed, stats = neighborhood_function(
+        g, max_depth=6, p=6, checkpoint_dir=ck, checkpoint_every=3, resume=True
+    )
+    assert stats["history"][0]["depth"] == 1  # restored history intact
+    assert stats["history"][3]["depth"] == 4  # and continued from 4
+    got = sorted(resumed.collect())
+    assert [r.depth for r in got] == [r.depth for r in expected]
+    for a, b in zip(got, expected):
+        # the SKETCH state round-trips exactly; the per-depth float SUM
+        # may differ in the last ulp (parquet re-read changes the
+        # summation order), so compare to relative 1e-12
+        assert a.n_pairs_est == pytest.approx(b.n_pairs_est, rel=1e-12)
+
+
+def test_random_walk_resume_matches_uninterrupted(spark, tmp_path):
+    """Walks resumed from the durable prefix continue the IDENTICAL
+    trajectories (pure-hash next-hop), so resumed == uninterrupted."""
+    from neo4j_graph_algorithms_spark.operators.random_walk import random_walks
+
+    rows = [(i, (i * 3 + 1) % 30) for i in range(30)] + [
+        (i, (i * 7 + 2) % 30) for i in range(30)
+    ]
+    rows = [(a, b) for a, b in rows if a != b]
+    g = _graph(spark, rows)
+    full, _ = random_walks(g, walk_length=8, walks_per_node=2, seed=11)
+    expected = sorted(full.collect())
+
+    ck = str(tmp_path / "walk_ck")
+    random_walks(
+        g, walk_length=4, walks_per_node=2, seed=11,
+        checkpoint_dir=ck, checkpoint_every=4,
+    )
+    resumed, stats = random_walks(
+        g, walk_length=8, walks_per_node=2, seed=11,
+        checkpoint_dir=ck, checkpoint_every=4, resume=True,
+    )
+    assert stats["steps_run"] == 8
+    assert sorted(resumed.collect()) == expected
+
+
 # ------------------------------------------------------ adaptive delta
 
 
