@@ -38,34 +38,58 @@ import sys
 CHILD = r"""
 import json, sys, time
 cpus, n_files, supersteps, parts = (int(a) for a in sys.argv[1:5])
+kernel = sys.argv[5] if len(sys.argv) > 5 else "pagerank"
 from neo4j_graph_algorithms_spark.session import build_session
 from neo4j_graph_algorithms_spark.graph import Graph
-from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
 from neo4j_graph_algorithms_spark.sources.link_extract import synthetic_link_edges
 spark = build_session(app_name=f"nga-scale-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=parts)
 edges = synthetic_link_edges(spark, n_files)
 g = Graph.from_edges(edges, weight="weight").cache()
 n_edges = g.edge_count()
-pagerank(g, max_iterations=3, fuse=2, num_partitions=parts)  # warmup
-t0 = time.time()
-_r, stats = pagerank(g, max_iterations=supersteps, fuse=5, num_partitions=parts)
-dt = time.time() - t0
-plain = sorted(h["secs"] for h in stats["history"] if not h["folded"])
+if kernel == "pagerank":
+    from neo4j_graph_algorithms_spark.operators.pagerank import pagerank
+    pagerank(g, max_iterations=3, fuse=2, num_partitions=parts)  # warmup
+    t0 = time.time()
+    _r, stats = pagerank(g, max_iterations=supersteps, fuse=5, num_partitions=parts)
+    dt = time.time() - t0
+    step_seconds = [h["secs"] for h in stats["history"]]
+    fold_steps = [h["superstep"] for h in stats["history"] if h["folded"]]
+    iters = stats["iterations"]
+elif kernel == "wcc":
+    from neo4j_graph_algorithms_spark.operators.wcc import wcc
+    # the synthetic chain+hub edge set has no reciprocal duplicates,
+    # so the symmetric frame needs no distinct()
+    wcc(g, max_iterations=2, assume_deduped=True, num_partitions=parts)  # warmup
+    t0 = time.time()
+    _c, stats = wcc(g, max_iterations=supersteps, assume_deduped=True,
+                    num_partitions=parts)
+    dt = time.time() - t0
+    # per-superstep durations from the IterationCache meta timestamps
+    # (entry 0 is the init materialization)
+    ts = [h["ts"] for h in stats["history"]]
+    step_seconds = [round(ts[i] - ts[i-1], 3) for i in range(1, len(ts))]
+    fold_steps = []
+    iters = stats["iterations"]
+else:
+    raise SystemExit(f"unknown kernel {kernel}")
+plain = sorted(s for i, s in enumerate(step_seconds, start=1) if i not in set(fold_steps))
 median = plain[len(plain) // 2]
-print(json.dumps({"cpus": cpus, "n_edges": n_edges, "partitions": parts,
-                  "supersteps": stats["iterations"], "seconds": round(dt, 2),
-                  "edges_per_sec_per_superstep": int(n_edges * stats["iterations"] / dt),
+print(json.dumps({"cpus": cpus, "kernel": kernel, "n_edges": n_edges,
+                  "partitions": parts,
+                  "supersteps": iters, "seconds": round(dt, 2),
+                  "edges_per_sec_per_superstep": int(n_edges * iters / dt),
                   "edges_per_sec_per_superstep_median": int(n_edges / median),
-                  "step_seconds": [h["secs"] for h in stats["history"]],
-                  "fold_steps": [h["superstep"] for h in stats["history"] if h["folded"]]}))
+                  "step_seconds": step_seconds,
+                  "fold_steps": fold_steps}))
 """
 
 
-def run_level(cpus: int, n_files: int, supersteps: int, parts: int) -> dict:
+def run_level(cpus: int, n_files: int, supersteps: int, parts: int, kernel: str) -> dict:
     env = {**os.environ, "NGA_PERIODIC_GC": os.environ.get("NGA_PERIODIC_GC", "30min")}
     out = subprocess.run(
-        [sys.executable, "-c", CHILD, str(cpus), str(n_files), str(supersteps), str(parts)],
+        [sys.executable, "-c", CHILD, str(cpus), str(n_files), str(supersteps),
+         str(parts), kernel],
         capture_output=True, text=True, check=True, cwd="/root/repo", env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
