@@ -127,6 +127,14 @@ HEADLINE = [
     "node_jaccard",
     "node_overlap",
     "doc_sample_stratified",
+    # round-5 widening: the remaining kernel families not yet floor-
+    # tracked (MS-BFS centralities, bounded SSSP, Louvain, HyperANF) —
+    # first floors this round
+    "sssp_hops12",
+    "closeness_hops4",
+    "harmonic_hops4",
+    "louvain",
+    "neighborhood_hll",
 ]
 
 # floor-vs-r1 ratio above which we call a regression; r1 is a single
