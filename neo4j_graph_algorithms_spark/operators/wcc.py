@@ -55,6 +55,7 @@ def wcc(
     assume_deduped: bool = False,
     resume: bool = False,
     num_partitions: int | None = None,
+    pointer_jump: bool | str = True,
     termination=None,
 ) -> tuple[DataFrame, dict]:
     """Returns (components(id, component), stats).
@@ -70,6 +71,22 @@ def wcc(
     intermediate labeling converges to the same fixpoint (the north-rule
     "resumable from checkpoint" contract, same shape as
     `pagerank(resume=True)`).
+
+    ``pointer_jump``: True (default — every round), "auto"
+    (frontier-gated: jump only while changed·64 ≥ V), False (never).
+    Pointer jumping (component := component(component)) is
+    LOAD-BEARING: the r5 A/B on the 8M-node chain+hub graph converges
+    in 6 rounds with it vs >20 without (577k labels still moving at
+    round 20) — the jump join adds ~30-40% to a superstep but buys
+    O(log) total rounds, a clear win. It is also the least scalable
+    part of a late superstep (label values concentrate onto giant
+    components, skewing the exchange), which is why the knob exists:
+    "auto" drops it once the frontier is tiny, but that can
+    asymptotically INFLATE round counts on high-diameter graphs (a
+    path's tail then advances one hop per round), so it is opt-in for
+    giant-component-dominated workloads, not the default. The
+    min-label fixpoint and the convergence test are jump-agnostic —
+    any setting converges to identical components.
     """
     spark = graph.edges.sparkSession
     t0 = time.time()
@@ -129,6 +146,8 @@ def wcc(
 
     ran = start_it - 1
     converged = False
+    n_nodes = graph.node_count()
+    changed = None  # unknown until the first round (jump gate treats as large)
     # frontier = rows whose label changed last round (everyone, in
     # round 1 / on resume). Offering from the frontier alone is exact:
     # labels only decrease, and a node's current label was offered the
@@ -159,22 +178,31 @@ def wcc(
                 )
             )
             # pointer jumping: component := component(component) —
-            # compresses label chains (distributed path compression)
-            parent = stepped.select(
-                F.col("id").alias("component"), F.col("component").alias("jump")
+            # compresses label chains (distributed path compression);
+            # gating options and the measured cost/benefit trade are in
+            # the docstring
+            do_jump = pointer_jump is True or (
+                pointer_jump == "auto" and (changed is None or changed * 64 >= n_nodes)
             )
-            jumped = (
-                stepped.join(parent, "component", "left")
-                .select(
-                    "id", "prev",
-                    F.coalesce(F.col("jump"), F.col("component")).alias("component"),
+            if do_jump:
+                parent = stepped.select(
+                    F.col("id").alias("component"), F.col("component").alias("jump")
                 )
-            )
+                jumped = (
+                    stepped.join(parent, "component", "left")
+                    .select(
+                        "id", "prev",
+                        F.coalesce(F.col("jump"), F.col("component")).alias("component"),
+                    )
+                )
+            else:
+                jumped = stepped
             jumped = cache.step(jumped, it)
             changed = jumped.agg(
                 F.sum((F.col("component") != F.col("prev")).cast("long")).alias("c")
             ).collect()[0]["c"] or 0
             cache.history[-1]["changed"] = int(changed)
+            cache.history[-1]["jumped"] = do_jump
             comp = jumped.select("id", "component")
             # next round's frontier: exactly the rows that changed this
             # round (via neighbor-min OR pointer jump — `prev` predates

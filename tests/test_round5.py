@@ -151,6 +151,29 @@ def test_neighborhood_auto_salt_matches_forced_salt(spark):
     assert sorted(a.collect()) == sorted(b.collect())
 
 
+# ----------------------------------------------- wcc pointer-jump knob
+
+
+def test_wcc_pointer_jump_modes_identical_components(spark):
+    """The min-label fixpoint is jump-agnostic: True / 'auto' / False
+    all converge to the identical component assignment (jumping only
+    changes ROUND COUNT — asserted: no-jump takes strictly more rounds
+    on a path, where chain compression is the whole game)."""
+    from neo4j_graph_algorithms_spark.operators.wcc import wcc
+
+    rows = [(i, i + 1) for i in range(40)]  # diameter-40 path
+    rows += [(100, 101), (101, 102), (102, 100)]  # separate triangle
+    g = _graph(spark, rows)
+    results = {}
+    rounds = {}
+    for mode in (True, "auto", False):
+        comp, st = wcc(g, max_iterations=100, pointer_jump=mode)
+        results[str(mode)] = sorted((r.id, r.component) for r in comp.collect())
+        rounds[str(mode)] = st["iterations"]
+    assert results["True"] == results["auto"] == results["False"]
+    assert rounds["False"] > rounds["True"]
+
+
 # --------------------------------------------- checkpoint-resume (r4 kernels)
 
 
