@@ -191,7 +191,9 @@ def main() -> None:
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r0*.json"))):
         try:
             with open(path) as fh:
-                parsed = json.load(fh).get("parsed", {})
+                # r4's record has "parsed": null (the overflow this
+                # round's compact line fixes) — treat as absent
+                parsed = json.load(fh).get("parsed") or {}
         except (OSError, json.JSONDecodeError):
             continue
         if parsed.get("sf") != sf:  # only comparable at the same scale
