@@ -17,7 +17,7 @@ a monotone fixpoint) — because both engines are deterministic given
 synchronous semantics. Floating-point columns are rounded (6 dp) on
 BOTH sides so summation order can't flip the value hash.
 
-53 queries: 47 oracle-backed, 6 rows-only (`minhash_dedup_pairs`,
+56 queries: 50 oracle-backed, 6 rows-only (`minhash_dedup_pairs`,
 `simhash_pairs`, `ann_lsh_topk`, `neighborhood_hll`, `random_walks64`,
 `louvain_multilevel` — each rides seeded hashing or an
 argmax-contraction hierarchy that plain SQL can't replay). Each
@@ -1234,6 +1234,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assign, _ = louvain_multilevel(g, levels=3, iterations=2)
         return assign.select("id", "community")
 
+    def q_tfidf_top3(spark, sf):
+        # top-3 tf-idf keywords per document — the rational
+        # tf·(N+1)/(df+1) scoring contract is engine-exact (two IEEE
+        # double ops, no libm), so rank order matches the oracle
+        # bit-for-bit (see pipeline/text.tfidf_keywords)
+        from neo4j_graph_algorithms_spark.pipeline.text import tfidf_keywords
+
+        docs = _read(spark, sf, "documents")
+        out = tfidf_keywords(docs, k=3)
+        return out.select(
+            "doc_id", "rank", "term", "tf", "df", F.round("score", ROUND).alias("score")
+        )
+
+    def q_repeated_ngrams(spark, sf):
+        # corpus-repeated word 3-grams (boilerplate/template audit):
+        # df = distinct docs containing the gram, df >= 5 — linear
+        # column algebra (tokenize → slide → distinct → one agg)
+        from neo4j_graph_algorithms_spark.pipeline.text import repeated_ngrams
+
+        docs = _read(spark, sf, "documents")
+        return repeated_ngrams(docs, n=3, min_df=5)
+
+    def q_user_sessions(spark, sf):
+        # gap-based sessionization of the event stream (480-min gap ≈
+        # the corpus median inter-event gap, so the split is non-
+        # trivial): deterministic (ts, event_id) ordering, exact
+        # integer-microsecond gap test
+        from neo4j_graph_algorithms_spark.pipeline.sessionize import sessionize
+
+        ev = _read(spark, sf, "events")
+        out = sessionize(ev, gap_minutes=480)
+        return out.select(
+            "user_id", "session_id", "n_events", "first_ts", "last_ts",
+            F.round("sum_value", ROUND).alias("sum_value"),
+        )
+
     # -- invariant-check twins for the six rows-only queries ----------
     # (VERDICT r4 next-round #3). Exact value oracles are impossible
     # for seeded-hash / contraction-hierarchy operators, but each has
@@ -1607,6 +1643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_stratified": q_doc_sample_stratified,
         "louvain": q_louvain,
         "louvain_multilevel": q_louvain_multilevel,
+        "tfidf_top3": q_tfidf_top3,
+        "repeated_ngrams": q_repeated_ngrams,
+        "user_sessions": q_user_sessions,
         "random_walks_check": q_random_walks_check,
         "louvain_multilevel_check": q_louvain_multilevel_check,
         "neighborhood_hll_check": q_neighborhood_hll_check,
@@ -1773,6 +1812,44 @@ b AS (SELECT doc_id,
       FROM tok)
 SELECT doc_id, bucket FROM b WHERE rn <= 5 ORDER BY doc_id""",
         "louvain": _sql_louvain_unrolled(1),
+        "tfidf_top3": f"""
+WITH nn3 AS (SELECT count(*) AS n FROM documents),
+tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+       GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+              tf.tf * (nn3.n + 1.0) / (dfq.df + 1.0) AS score
+       FROM tf JOIN dfq USING (term) CROSS JOIN nn3),
+rk AS (SELECT *, row_number() OVER (
+         PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank FROM sc)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+       ROUND(score, {ROUND}) AS score
+FROM rk WHERE rank <= 3""",
+        "repeated_ngrams": """
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+           FROM documents),
+idx AS (SELECT i FROM generate_series(1, 8192) s(i)),
+g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS ngram
+      FROM t JOIN idx ON i <= len(w) - 2),
+d AS (SELECT ngram, count(*) AS df FROM g GROUP BY ngram)
+SELECT ngram, df FROM d WHERE df >= 5""",
+        "user_sessions": f"""
+WITH o AS (SELECT user_id, event_id, ts, value, epoch_us(ts) AS e FROM events),
+f AS (SELECT user_id, event_id, ts, value, e,
+             CASE WHEN lag(e) OVER w IS NULL
+                       OR e - lag(e) OVER w > CAST(28800000000 AS BIGINT)
+                  THEN 1 ELSE 0 END AS ns
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY e, event_id)),
+s AS (SELECT user_id, ts, value,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY e, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM f)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       ROUND(sum(value), {ROUND}) AS sum_value
+FROM s GROUP BY user_id, session_id""",
         # invariant oracles for the six rows-only operators: the Spark
         # side computes the invariant, the SQL side states the expected
         # constants from the base tables (see the q_*_check docstrings)

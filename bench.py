@@ -135,6 +135,11 @@ HEADLINE = [
     "harmonic_hops4",
     "louvain",
     "neighborhood_hll",
+    # round-5 pipeline additions: tf-idf keyword extraction, repeated
+    # n-gram boilerplate audit, gap-based sessionization
+    "tfidf_top3",
+    "repeated_ngrams",
+    "user_sessions",
 ]
 
 # floor-vs-r1 ratio above which we call a regression; r1 is a single

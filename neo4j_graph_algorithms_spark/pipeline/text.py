@@ -198,3 +198,90 @@ def filter_corpus(
         .withColumn("reject_reason", reason)
         .withColumn("keep", F.col("reject_reason").isNull())
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    Output (doc_id, rank, term, tf, df, score): rank 1..k per doc.
+
+    Scoring contract — chosen for ENGINE-EXACT reproducibility: the
+    selection score is the rational ``tf · (N+1)/(df+1)`` (tf-
+    proportional inverse document frequency without the log): both
+    engines compute it with the same two IEEE double ops, so ranking
+    (score DESC, term ASC) is bit-identical across Spark and any SQL
+    oracle — a log-idf score differs in the last ulp between libm
+    implementations and can flip near-ties. The log variant orders
+    (tf, df) pairs differently in general; for keyword EXTRACTION the
+    rational form is an accepted idf flavor (raw idf), and the exported
+    ``score`` column makes the contract explicit.
+
+    Scale shape: two hash aggregations (tf on (doc, term), df on term)
+    + one join on term + one per-doc window — the term dimension is
+    shuffle-joined (broadcastable when the vocabulary is small), the
+    window is by-doc (never global).
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = docs.count()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id", "term", "tf", "df",
+        (F.col("tf") * F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tf", "df", "score")
+    )
+
+
+def repeated_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    min_df: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-repeated word n-grams: (ngram, df) with df = number of
+    DISTINCT documents containing the n-gram, df ≥ min_df — the
+    boilerplate/template detector (license headers, navigation chrome,
+    repeated spans) a pre-train corpus audit runs before dedup.
+
+    Pure column algebra: tokenize once, slide an index sequence over
+    the token array (`transform` + `slice` + `array_join` — no UDF,
+    no per-row Python), DISTINCT per doc, one hash aggregation. The
+    distinct + groupBy shuffles on the ngram string; a df-heavy
+    "stop-gram" (every doc shares it) is just a large COUNT, never a
+    fan-out — this operator is linear where the pair-join dedups are
+    quadratic, which is why the audit runs first.
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.size(w) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - n),
+                    lambda i: F.array_join(F.slice(w, i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ngram"),
+    ).distinct()
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+    )

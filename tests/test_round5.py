@@ -151,6 +151,74 @@ def test_neighborhood_auto_salt_matches_forced_salt(spark):
     assert sorted(a.collect()) == sorted(b.collect())
 
 
+# ------------------------------------------ new pipeline ops (round 5)
+
+
+def test_tfidf_keywords_hand_fixture(spark):
+    """3 docs, hand-computed rational tf-idf: 'cat' is doc-0's top term
+    (tf 2, df 1 → 2·4/2 = 4.0), the everywhere-term 'the' scores 1·4/4."""
+    from neo4j_graph_algorithms_spark.pipeline.text import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [(0, "cat cat the dog"), (1, "the dog runs"), (2, "the fish")],
+        "doc_id long, text string",
+    )
+    out = tfidf_keywords(docs, k=2)
+    rows = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.score) for r in out.collect()}
+    assert rows[(0, 1)] == ("cat", 2, 1, 4.0)
+    # doc 0 rank 2: 'dog' tf1 df2 → 4/3 beats 'the' tf1 df3 → 1.0
+    assert rows[(0, 2)][0] == "dog" and abs(rows[(0, 2)][3] - 4 / 3) < 1e-12
+    assert rows[(2, 1)] == ("fish", 1, 1, 2.0)
+    assert out.filter(F.col("rank") > 2).count() == 0
+
+
+def test_repeated_ngrams_hand_fixture(spark):
+    """df counts DISTINCT docs; within-doc repeats collapse; short docs
+    yield no grams."""
+    from neo4j_graph_algorithms_spark.pipeline.text import repeated_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b c"),   # contains 'a b c' twice -> counted once
+            (1, "x a b c y"),
+            (2, "a b"),           # too short for 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.ngram: r.df for r in repeated_ngrams(docs, n=3, min_df=2).collect()}
+    assert out == {"a b c": 2}
+
+
+def test_sessionize_hand_fixture(spark):
+    """Gap splits, tie-broken deterministically; session ids dense per
+    user; aggregates exact."""
+    from datetime import datetime
+
+    from neo4j_graph_algorithms_spark.pipeline.sessionize import sessionize
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, 10, t(0), 1.0),
+        (2, 10, t(5), 2.0),    # +5min  -> same session
+        (3, 10, t(50), 4.0),   # +45min -> new session (gap 30)
+        (4, 20, t(0), 8.0),
+        (5, 20, t(31), 16.0),  # +31min -> new session
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    out = {
+        (r.user_id, r.session_id): (r.n_events, r.sum_value)
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    assert out == {
+        (10, 1): (2, 3.0),
+        (10, 2): (1, 4.0),
+        (20, 1): (1, 8.0),
+        (20, 2): (1, 16.0),
+    }
+
+
 # ----------------------------------------------- wcc pointer-jump knob
 
 
