@@ -163,7 +163,16 @@ def core_decomposition(
                     sym.join(changed.select(F.col("node").alias("nbr")), "nbr")
                     .select("node")
                 )
-                act = sym_by_node.join(affected, "node", "left_semi")
+                # SHUFFLE_HASH hint: the affected frame's stats are
+                # join-products (huge estimates), so without the hint
+                # Spark falls back to sort-merge and re-SORTS the O(E)
+                # cached side every round; hash-building on the
+                # frontier-sized affected side probes the cache sorted-
+                # free (per-partition build, same memory class as any
+                # SHJ build side)
+                act = sym_by_node.join(
+                    affected.hint("shuffle_hash"), "node", "left_semi"
+                )
                 if track_affected:
                     act = act.localCheckpoint(eager=True)
                     n_affected = act.count()
